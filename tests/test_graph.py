@@ -1,0 +1,94 @@
+import networkx as nx
+import numpy as np
+import jax.numpy as jnp
+
+from torch_random_walk_tpu import graph as G
+
+
+def toy_undirected():
+    g = nx.Graph()
+    for e in [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("D", "C"),
+              ("E", "A"), ("E", "D")]:
+        g.add_edge(*e)
+    return g
+
+
+def toy_directed():
+    g = nx.DiGraph()
+    for e in [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("D", "C"),
+              ("E", "A"), ("E", "D")]:
+        g.add_edge(*e)
+    return g
+
+
+def test_csr_builder_matches_networkx():
+    g = toy_undirected()
+    csr = G.CSRGraph.from_networkx(g)
+    assert csr.num_nodes == 5 and csr.num_edges == 14
+    rp = np.asarray(csr.row_ptr)
+    ci = np.asarray(csr.col_idx)
+    np.testing.assert_array_equal(rp, [0, 3, 6, 9, 12, 14])
+    # rows sorted, adjacency correct (node order A,B,C,D,E = insertion)
+    adj = {i: sorted(ci[rp[i]:rp[i + 1]].tolist()) for i in range(5)}
+    assert adj == {0: [1, 2, 4], 1: [0, 2, 3], 2: [0, 1, 3], 3: [1, 2, 4],
+                   4: [0, 3]}
+    for i in range(5):
+        row = ci[rp[i]:rp[i + 1]]
+        assert np.all(np.diff(row) >= 0), "rows must be sorted"
+    assert csr.max_degree == 3
+
+
+def test_csr_from_edges_symmetrize():
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 0])
+    csr = G.CSRGraph.from_edges(src, dst, num_nodes=3, symmetrize=True)
+    assert csr.num_edges == 6
+    rp, ci = np.asarray(csr.row_ptr), np.asarray(csr.col_idx)
+    assert sorted(ci[rp[0]:rp[1]].tolist()) == [1, 2]
+
+
+def test_node_edge_index_golden():
+    """Golden from /root/reference/tests/test_rw_edge_list.py:31-37."""
+    g = toy_directed()
+    edge_list, mapping = G.to_edge_list_indexed(g)
+    assert mapping == {"A": 0, "B": 1, "C": 2, "D": 3, "E": 4}
+    index, sorted_edges = G.build_node_edge_index(edge_list)
+    np.testing.assert_array_equal(
+        np.asarray(index),
+        [[0, 1], [2, 3], [-1, -1], [4, 4], [5, 6]],
+    )
+    heads = np.asarray(sorted_edges)[:, 0]
+    assert np.all(np.diff(heads) >= 0)
+
+
+def test_edge_list_undirected_appends_reversed():
+    g = toy_undirected()
+    edge_list, _ = G.to_edge_list_indexed(g)
+    e = np.asarray(edge_list)
+    assert e.shape == (14, 2)
+    np.testing.assert_array_equal(e[7:], e[:7, ::-1])
+
+
+def test_relation_tail_index_golden():
+    """Golden from /root/reference/tests/test_rw_triples.py:47-53."""
+    triples = [(0, 5, 1), (1, 6, 3), (0, 5, 2), (2, 6, 4), (2, 7, 1),
+               (0, 6, 3), (3, 7, 0), (3, 6, 2)]
+    entities = jnp.array([0, 1, 2, 3, 4])
+    index, sorted_triples = G.build_relation_tail_index(
+        jnp.array(triples), entities
+    )
+    np.testing.assert_array_equal(
+        np.asarray(index), [[0, 2], [3, 3], [4, 5], [6, 7], [-1, -1]]
+    )
+    heads = np.asarray(sorted_triples)[:, 0]
+    assert np.all(np.diff(heads) >= 0)
+
+
+def test_edge_list_graph_container():
+    g = toy_directed()
+    elg = G.EdgeListGraph.from_networkx(g)
+    assert elg.num_nodes == 5 and elg.num_edges == 7 and elg.max_degree == 2
+    np.testing.assert_array_equal(
+        np.asarray(elg.node_edge_index),
+        [[0, 1], [2, 3], [-1, -1], [4, 4], [5, 6]],
+    )

@@ -1,0 +1,74 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest.py)."""
+
+import networkx as nx
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import torch_random_walk_tpu as trw
+from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
+from torch_random_walk_tpu.parallel import (
+    PartitionedCSR,
+    make_mesh,
+    walk_data_parallel,
+    walk_partitioned,
+)
+
+
+def toy_csr():
+    g = nx.Graph()
+    for e in [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("D", "C"),
+              ("E", "A"), ("E", "D")]:
+        g.add_edge(*e)
+    return trw.CSRGraph.from_networkx(g)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_bitwise_matches_single_device():
+    csr = toy_csr()
+    mesh = make_mesh()
+    targets = jnp.tile(jnp.arange(5, dtype=jnp.int32), 16)  # 80 walkers
+    dp = walk_data_parallel(csr, targets, mesh, walk_length=12, seed=42)
+    single = uniform_walk_csr(csr.row_ptr, csr.col_idx, targets, 12, 42)
+    np.testing.assert_array_equal(np.asarray(dp), np.asarray(single))
+
+
+def test_data_parallel_biased_matches_single_device():
+    csr = toy_csr()
+    mesh = make_mesh()
+    targets = jnp.tile(jnp.arange(5, dtype=jnp.int32), 16)
+    dp = walk_data_parallel(csr, targets, mesh, p=0.5, q=2.0, walk_length=8,
+                            seed=7)
+    single = trw.ops.node2vec_walk_csr(csr.row_ptr, csr.col_idx, targets, 0.5,
+                                       2.0, 8, 7,
+                                       search_iters=csr.search_iters)
+    np.testing.assert_array_equal(np.asarray(dp), np.asarray(single))
+
+
+def test_partitioned_graph_bitwise_matches_single_device():
+    """Edge-partitioned walk (graph sharded over 8 devices) must reproduce the
+    single-device bitstream exactly — SURVEY.md §7 hard part 4."""
+    csr = toy_csr()
+    mesh = make_mesh()
+    pg = PartitionedCSR.from_csr(csr, num_shards=8)
+    targets = jnp.tile(jnp.arange(5, dtype=jnp.int32), 16)  # 80 = 8 * 10
+    part = walk_partitioned(pg, targets, mesh, walk_length=12, seed=42)
+    single = uniform_walk_csr(csr.row_ptr, csr.col_idx, targets, 12, 42)
+    np.testing.assert_array_equal(np.asarray(part), np.asarray(single))
+
+
+def test_partitioned_on_larger_graph():
+    rng = np.random.RandomState(0)
+    n, deg = 64, 6
+    src = np.repeat(np.arange(n), deg)
+    dst = rng.randint(0, n, size=n * deg)
+    csr = trw.CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
+    mesh = make_mesh()
+    pg = PartitionedCSR.from_csr(csr, num_shards=8)
+    targets = jnp.arange(64, dtype=jnp.int32)
+    part = walk_partitioned(pg, targets, mesh, walk_length=10, seed=5)
+    single = uniform_walk_csr(csr.row_ptr, csr.col_idx, targets, 10, 5)
+    np.testing.assert_array_equal(np.asarray(part), np.asarray(single))

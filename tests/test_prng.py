@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.extend.random import threefry_2x32 as jax_threefry
+
+from torch_random_walk_tpu.utils import prng
+
+
+def test_threefry_matches_jax():
+    k = jnp.array([0xDEADBEEF, 0x12345678], dtype=jnp.uint32)
+    # jax's threefry_2x32 consumes a flat counter array: it splits it in half
+    # into (c0, c1) pairs.
+    count = jnp.arange(64, dtype=jnp.uint32)
+    expected = jax_threefry(k, count)
+    c0, c1 = count[:32], count[32:]
+    x0, x1 = prng.threefry2x32(k[0], k[1], c0, c1)
+    got = jnp.concatenate([x0, x1])
+    np.testing.assert_array_equal(np.asarray(expected), np.asarray(got))
+
+
+def test_deterministic_and_stream_separated():
+    k_a = prng.derive_key(42, prng.STREAM_CSR_UNIFORM)
+    k_a2 = prng.derive_key(42, prng.STREAM_CSR_UNIFORM)
+    k_b = prng.derive_key(42, prng.STREAM_CSR_BIASED)
+    ids = jnp.arange(128, dtype=jnp.uint32)
+    step = prng.step_round_counter(3)
+    a = prng.counter_bits(k_a, ids, jnp.full_like(ids, step))[0]
+    a2 = prng.counter_bits(k_a2, ids, jnp.full_like(ids, step))[0]
+    b = prng.counter_bits(k_b, ids, jnp.full_like(ids, step))[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert np.any(np.asarray(a) != np.asarray(b))
+
+
+def test_uniform_range_and_mean():
+    key = prng.derive_key(7, prng.STREAM_WINDOWS_SG)
+    ids = jnp.arange(1 << 16, dtype=jnp.uint32)
+    bits, _ = prng.counter_bits(key, ids, jnp.zeros_like(ids))
+    u = np.asarray(prng.uniform_from_bits(bits))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 0.01
+
+
+def test_randint_unbiased():
+    key = prng.derive_key(9, prng.STREAM_CSR_UNIFORM)
+    ids = jnp.arange(1 << 16, dtype=jnp.uint32)
+    bits, _ = prng.counter_bits(key, ids, jnp.zeros_like(ids))
+    r = np.asarray(prng.randint_from_bits(bits, 7))
+    assert r.min() == 0 and r.max() == 6
+    counts = np.bincount(r, minlength=7) / r.size
+    np.testing.assert_allclose(counts, 1.0 / 7, atol=0.01)
+
+
+def test_sharding_invariance():
+    """Bits depend only on global walker id: computing a shard's slice alone
+    equals slicing the full batch's draws."""
+    key = prng.derive_key(123, prng.STREAM_CSR_UNIFORM)
+    full_ids = jnp.arange(256, dtype=jnp.uint32)
+    step = jnp.full_like(full_ids, prng.step_round_counter(5))
+    full = prng.counter_bits(key, full_ids, step)[0]
+    shard = prng.counter_bits(key, full_ids[64:128], step[64:128])[0]
+    np.testing.assert_array_equal(np.asarray(full[64:128]), np.asarray(shard))

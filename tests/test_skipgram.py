@@ -1,0 +1,77 @@
+import networkx as nx
+import numpy as np
+import jax.numpy as jnp
+
+import torch_random_walk_tpu as trw
+from torch_random_walk_tpu.models import Node2Vec, Node2VecConfig, SkipGramModel, CBOWModel
+from torch_random_walk_tpu.ops.windows import to_windows, to_windows_cbow
+
+
+def barbell_graph():
+    """Two K5 cliques joined by one edge: embeddings must separate them."""
+    g = nx.barbell_graph(5, 0)
+    return trw.CSRGraph.from_networkx(g)
+
+
+def test_skipgram_loss_decreases():
+    csr = barbell_graph()
+    import optax
+
+    model = SkipGramModel(csr.num_nodes, dim=16, optimizer=optax.adam(5e-2))
+    params, opt_state = model.init(0)
+    targets = jnp.arange(csr.num_nodes, dtype=jnp.int32)
+    first = last = None
+    for epoch in range(30):
+        walks = trw.walk(csr, target_nodes=targets, walk_length=10,
+                         seed=epoch)
+        tgt, pos, neg = to_windows(walks, 5, csr.num_nodes, seed=epoch)
+        params, opt_state, loss = model.train_step(params, opt_state, tgt,
+                                                   pos, neg)
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert last < first * 0.8, f"loss did not decrease: {first} -> {last}"
+
+
+def test_cbow_loss_decreases():
+    csr = barbell_graph()
+    model = CBOWModel(csr.num_nodes, dim=16)
+    params, opt_state = model.init(0)
+    targets = jnp.arange(csr.num_nodes, dtype=jnp.int32)
+    first = last = None
+    for epoch in range(30):
+        walks = trw.walk(csr, target_nodes=targets, walk_length=10,
+                         seed=epoch)
+        pos_n, neg_n, ctx = to_windows_cbow(walks, 5, csr.num_nodes,
+                                            seed=epoch)
+        params, opt_state, loss = model.train_step(params, opt_state, pos_n,
+                                                   neg_n, ctx)
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert last < first
+
+
+def test_node2vec_pipeline_learns_communities():
+    csr = barbell_graph()
+    cfg = Node2VecConfig(dim=16, walk_length=10, window_size=5,
+                         learning_rate=5e-2, seed=0)
+    n2v = Node2Vec(csr, cfg)
+    params, losses = n2v.train(num_epochs=60)
+    assert losses[-1] < losses[0]
+    emb = np.asarray(n2v.embeddings(params))
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sim = emb @ emb.T
+    a, b = list(range(5)), list(range(5, 10))
+    intra = (sim[np.ix_(a, a)].sum() - 5) / 20 / 2 + (
+        sim[np.ix_(b, b)].sum() - 5
+    ) / 20 / 2
+    inter = sim[np.ix_(a, b)].mean()
+    assert intra > inter + 0.1, f"communities not separated: {intra} vs {inter}"
+
+
+def test_biased_pipeline_runs():
+    csr = barbell_graph()
+    cfg = Node2VecConfig(dim=8, walk_length=8, window_size=3, p=0.5, q=2.0,
+                         seed=1)
+    n2v = Node2Vec(csr, cfg)
+    params, losses = n2v.train(num_epochs=3)
+    assert np.isfinite(losses).all()

@@ -1,0 +1,5 @@
+from torch_random_walk_tpu.models.skipgram import SkipGramModel
+from torch_random_walk_tpu.models.cbow import CBOWModel
+from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
+
+__all__ = ["SkipGramModel", "CBOWModel", "Node2Vec", "Node2VecConfig"]

@@ -1,0 +1,91 @@
+"""End-to-end node2vec/DeepWalk pipeline: walk -> windows -> SGNS training.
+
+The fused epoch step (sample + window + SGNS update in ONE jitted function)
+is the flagship training path: XLA fuses the whole chain so walks and windows
+never round-trip through host memory — the TPU-native replacement for the
+reference's intended pipeline (SURVEY.md §3.5) where walk tensors are
+materialized and handed to an external trainer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from torch_random_walk_tpu.graph.csr import CSRGraph
+from torch_random_walk_tpu.models.skipgram import SkipGramModel
+from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
+from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
+from torch_random_walk_tpu.ops.windows import to_windows
+
+
+@dataclasses.dataclass(frozen=True)
+class Node2VecConfig:
+    dim: int = 128
+    walk_length: int = 40
+    window_size: int = 5
+    walks_per_node: int = 1
+    p: float = 1.0
+    q: float = 1.0
+    learning_rate: float = 1e-2
+    seed: int = 0
+
+
+class Node2Vec:
+    """node2vec embedding trainer over a CSRGraph."""
+
+    def __init__(self, graph: CSRGraph, config: Node2VecConfig = Node2VecConfig()):
+        self.graph = graph
+        self.config = config
+        self.model = SkipGramModel(
+            graph.num_nodes, config.dim,
+            optimizer=optax.adam(config.learning_rate),
+        )
+
+    def init(self):
+        return self.model.init(self.config.seed)
+
+    @partial(jax.jit, static_argnums=0)
+    def epoch_step(self, params, opt_state, targets, epoch):
+        """One fused sample+train step over a batch of start nodes.
+
+        ``epoch`` perturbs the walk seed so every epoch samples fresh walks;
+        determinism is retained: the whole run is a pure function of
+        (config.seed, epoch, targets).
+        """
+        cfg = self.config
+        seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
+        if cfg.p == 1.0 and cfg.q == 1.0:
+            walks = uniform_walk_csr(self.graph.row_ptr, self.graph.col_idx,
+                                     targets, cfg.walk_length, seed)
+        else:
+            walks = node2vec_walk_csr(self.graph.row_ptr, self.graph.col_idx,
+                                      targets, cfg.p, cfg.q, cfg.walk_length,
+                                      seed, search_iters=self.graph.search_iters)
+        tgt, pos, neg = to_windows(walks, cfg.window_size,
+                                   self.graph.num_nodes, seed)
+        return self.model.train_step(params, opt_state, tgt, pos, neg)
+
+    def train(self, num_epochs: int, batch_nodes=None, log_every: int = 0):
+        """Simple training loop; returns (params, losses)."""
+        params, opt_state = self.init()
+        if batch_nodes is None:
+            batch_nodes = jnp.arange(self.graph.num_nodes, dtype=jnp.int32)
+        batch_nodes = jnp.tile(batch_nodes, self.config.walks_per_node)
+        losses = []
+        for epoch in range(num_epochs):
+            params, opt_state, loss = self.epoch_step(
+                params, opt_state, batch_nodes, jnp.uint32(epoch)
+            )
+            losses.append(float(loss))
+            if log_every and epoch % log_every == 0:
+                print(f"epoch {epoch}: loss {losses[-1]:.4f}")
+        return params, np.array(losses)
+
+    def embeddings(self, params):
+        return self.model.embeddings(params)

@@ -1,0 +1,112 @@
+"""Public walk API — mirrors the reference façade (torch_rw/rw.py:3-27).
+
+Dispatch contract kept from ``walk_cpu`` (/root/reference/csrc/cpu/rw_cpu.cpp:220-224):
+p == 1.0 and q == 1.0 selects the uniform kernel, anything else the biased
+(node2vec rejection) kernel.  All entry points are jit-compiled with static
+(p, q, walk_length, restart) so recompilation happens only when those change.
+
+Accepts either the graph container objects (preferred — they carry the
+static ``search_iters`` metadata) or raw arrays, in which case a conservative
+static search depth is used.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from torch_random_walk_tpu.graph.csr import CSRGraph
+from torch_random_walk_tpu.graph.edge_list import EdgeListGraph
+from torch_random_walk_tpu.graph.triples import TriplesGraph
+from torch_random_walk_tpu.ops import common
+from torch_random_walk_tpu.ops.edge_list_walk import (
+    biased_walk_edge_list,
+    uniform_walk_edge_list,
+)
+from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
+from torch_random_walk_tpu.ops.triples_walk import uniform_walk_triples
+from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
+
+
+@partial(jax.jit, static_argnames=("walk_length",))
+def _uniform_csr(row_ptr, col_idx, target_nodes, walk_length, seed):
+    return uniform_walk_csr(row_ptr, col_idx, target_nodes, walk_length, seed)
+
+
+@partial(jax.jit, static_argnames=("p", "q", "walk_length", "search_iters"))
+def _biased_csr(row_ptr, col_idx, target_nodes, p, q, walk_length, seed,
+                search_iters):
+    return node2vec_walk_csr(row_ptr, col_idx, target_nodes, p, q, walk_length,
+                             seed, search_iters=search_iters)
+
+
+def walk(row_ptr, col_idx=None, target_nodes=None, p=1.0, q=1.0,
+         walk_length=10, seed=0):
+    """Reference-parity entry point (torch_rw/rw.py:3).  First argument may be
+    a CSRGraph instead of (row_ptr, col_idx)."""
+    if isinstance(row_ptr, CSRGraph):
+        g = row_ptr
+        row_ptr, col_idx, iters = g.row_ptr, g.col_idx, g.search_iters
+    else:
+        iters = common.DEFAULT_SEARCH_ITERS
+    if p == 1.0 and q == 1.0:
+        return _uniform_csr(row_ptr, col_idx, target_nodes, int(walk_length),
+                            int(seed))
+    return _biased_csr(row_ptr, col_idx, target_nodes, float(p), float(q),
+                       int(walk_length), int(seed), iters)
+
+
+@partial(jax.jit, static_argnames=("walk_length", "padding_idx", "restart"))
+def _uniform_edge(edge_list, node_edge_index, target_nodes, walk_length, seed,
+                  padding_idx, restart):
+    return uniform_walk_edge_list(edge_list, node_edge_index, target_nodes,
+                                  walk_length, seed, padding_idx, restart)
+
+
+@partial(jax.jit, static_argnames=("p", "q", "walk_length", "padding_idx",
+                                   "restart", "search_iters"))
+def _biased_edge(edge_list, node_edge_index, target_nodes, p, q, walk_length,
+                 seed, padding_idx, restart, search_iters):
+    return biased_walk_edge_list(edge_list, node_edge_index, target_nodes, p,
+                                 q, walk_length, seed, padding_idx, restart,
+                                 search_iters=search_iters)
+
+
+def walk_edge_list(edge_list_indexed, node_edge_index=None, target_nodes=None,
+                   p=1.0, q=1.0, walk_length=10, seed=0, padding_idx=-1,
+                   restart=True):
+    """Reference-parity entry point (torch_rw/rw.py:6).  First argument may be
+    an EdgeListGraph instead of (edge_list_indexed, node_edge_index)."""
+    if isinstance(edge_list_indexed, EdgeListGraph):
+        g = edge_list_indexed
+        edge_list_indexed, node_edge_index = g.edge_list, g.node_edge_index
+        iters = g.search_iters
+    else:
+        iters = common.DEFAULT_SEARCH_ITERS
+    if p == 1.0 and q == 1.0:
+        return _uniform_edge(edge_list_indexed, node_edge_index, target_nodes,
+                             int(walk_length), int(seed), int(padding_idx),
+                             bool(restart))
+    return _biased_edge(edge_list_indexed, node_edge_index, target_nodes,
+                        float(p), float(q), int(walk_length), int(seed),
+                        int(padding_idx), bool(restart), iters)
+
+
+@partial(jax.jit, static_argnames=("walk_length", "padding_idx", "restart"))
+def _triples(triples, relation_tail_index, target_nodes, walk_length,
+             padding_idx, restart, seed):
+    return uniform_walk_triples(triples, relation_tail_index, target_nodes,
+                                walk_length, padding_idx, restart, seed)
+
+
+def walk_triples(triples_indexed, relation_tail_index=None, target_nodes=None,
+                 walk_length=10, padding_idx=-1, seed=0, restart=True):
+    """Reference-parity entry point (torch_rw/rw.py:18).  First argument may
+    be a TriplesGraph."""
+    if isinstance(triples_indexed, TriplesGraph):
+        g = triples_indexed
+        triples_indexed, relation_tail_index = g.triples, g.relation_tail_index
+    return _triples(triples_indexed, relation_tail_index, target_nodes,
+                    int(walk_length), int(padding_idx), bool(restart),
+                    int(seed))

@@ -1,0 +1,4 @@
+from torch_random_walk_tpu.utils import prng
+from torch_random_walk_tpu.utils.logging import get_logger
+
+__all__ = ["prng", "get_logger"]
