@@ -1,0 +1,172 @@
+"""Benchmark harness: sampled node-steps/sec/chip (BASELINE.md north-star metric).
+
+Measures uniform and node2vec(p=0.5, q=2.0) walk sampling throughput on a
+synthetic power-law graph sized for the detected platform, plus the fused
+walk->windows->SGNS training step.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The reference publishes no benchmark numbers (BASELINE.md: "published": {}),
+so vs_baseline is reported against this framework's own recorded first-round
+value when present (BENCH_BASELINE.json), else 1.0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_graph(num_nodes: int, avg_degree: int, seed: int = 0):
+    """Synthetic graph with a power-law-ish degree skew (hub nodes stress the
+    gather path the way ogbn graphs do)."""
+    from torch_random_walk_tpu.graph.csr import CSRGraph
+
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+    # Preferential-attachment-flavoured tails: mix uniform with squared-uniform
+    # (density ~ 1/sqrt(x) -> heavy head).
+    u = rng.random(num_edges)
+    dst = (u * u * num_nodes).astype(np.int64)
+    src = rng.integers(0, num_nodes, num_edges)
+    # Ring edges guarantee degree >= 2 everywhere.
+    ring_src = np.arange(num_nodes, dtype=np.int64)
+    ring_dst = (ring_src + 1) % num_nodes
+    src = np.concatenate([src, ring_src, ring_dst])
+    dst = np.concatenate([dst, ring_dst, ring_src])
+    return CSRGraph.from_edges(src, dst, num_nodes=num_nodes)
+
+
+def _sync(out):
+    """Force a (scalar) host readback: on remote-tunnel backends
+    block_until_ready can return without surfacing async device faults, and
+    reading a large array back would charge tunnel bandwidth to the kernel —
+    so benched fns must reduce to scalars on device (see _checksummed)."""
+    leaf = [x for x in __import__("jax").tree.leaves(out)
+            if hasattr(x, "ravel")][0]
+    return np.asarray(leaf).ravel()[-1]
+
+
+def _checksummed(fn):
+    """Wrap fn so only a device-side checksum leaves the chip."""
+    import jax.numpy as jnp
+
+    def wrapped(*args):
+        out = fn(*args)
+        leaves = [x for x in __import__("jax").tree.leaves(out)
+                  if hasattr(x, "ravel")]
+        return sum(jnp.sum(x) for x in leaves)
+
+    return wrapped
+
+
+def time_fn(fn, *args, warmup=2, iters=5):
+    fn = _checksummed(fn)
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nodes", type=int, default=0, help="0 = auto-size")
+    parser.add_argument("--degree", type=int, default=16)
+    parser.add_argument("--walkers", type=int, default=0, help="0 = auto-size")
+    parser.add_argument("--walk-length", type=int, default=80)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--profile-dir", type=str, default="")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from torch_random_walk_tpu.ops.walk import walk
+    from torch_random_walk_tpu.ops.windows import to_windows
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    num_nodes = args.nodes or (2_000_000 if on_tpu else 50_000)
+    num_walkers = args.walkers or (131_072 if on_tpu else 8_192)
+    walk_length = args.walk_length
+
+    graph = build_graph(num_nodes, args.degree)
+    targets = jnp.arange(num_walkers, dtype=graph.col_idx.dtype) % num_nodes
+
+    def uniform_fn(t):
+        return walk(graph, target_nodes=t, p=1.0, q=1.0,
+                    walk_length=walk_length, seed=7)
+
+    def biased_fn(t):
+        return walk(graph, target_nodes=t, p=0.5, q=2.0,
+                    walk_length=walk_length, seed=7)
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    dt_uniform = time_fn(uniform_fn, targets, iters=args.iters)
+    dt_biased = time_fn(biased_fn, targets, iters=args.iters)
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    steps = num_walkers * walk_length
+    uniform_sps = steps / dt_uniform
+    biased_sps = steps / dt_biased
+
+    # Fused training step throughput (walks -> windows -> SGNS loss step).
+    # Uses a smaller graph: embedding tables + Adam state for multi-million
+    # node graphs exceed single-chip HBM transiently (that's the sharded
+    # trainer's job, parallel/trainer.py).
+    from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
+
+    train_nodes = min(num_nodes, 200_000)
+    train_graph = (graph if train_nodes == num_nodes
+                   else build_graph(train_nodes, args.degree))
+    n2v = Node2Vec(train_graph, Node2VecConfig(dim=128, walk_length=16,
+                                               window_size=5, p=1.0, q=1.0))
+    params, opt_state = n2v.init()
+
+    def train_fn(p, o, t):
+        return n2v.epoch_step(p, o, t, jnp.uint32(1))
+
+    train_targets = targets[: min(num_walkers, 65_536 if on_tpu else 4_096)] % train_nodes
+    dt_train = time_fn(train_fn, params, opt_state, train_targets,
+                       iters=max(2, args.iters // 2))
+    train_sps = train_targets.shape[0] * 16 / dt_train
+
+    value = biased_sps  # headline: the harder (node2vec) sampling path
+    baseline_path = os.path.join(os.path.dirname(__file__) or ".",
+                                 "BENCH_BASELINE.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            prev = json.load(f).get("value", 0)
+        if prev:
+            vs_baseline = value / prev
+
+    print(json.dumps({
+        "metric": "node2vec_node_steps_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "node-steps/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+        "uniform_node_steps_per_sec": round(uniform_sps, 1),
+        "fused_train_node_steps_per_sec": round(train_sps, 1),
+        "platform": platform,
+        "num_nodes": num_nodes,
+        "num_edges": graph.num_edges,
+        "num_walkers": num_walkers,
+        "walk_length": walk_length,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Fat-table walk engine tests: packing, cuckoo set, and bit-equivalence.
+
+The fat engine (ops/fatwalk.py) must produce *bit-identical* walks to the
+reference jnp path (ops/uniform.py, ops/node2vec.py) — same threefry
+counters, same acceptance math — so the oracle-backed distribution tests in
+test_walks_uniform.py / test_walks_node2vec.py transfer to it wholesale.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from torch_random_walk_tpu.graph.csr import CSRGraph, PackedLayout
+from torch_random_walk_tpu.graph.hashset import EdgeHashSet
+from torch_random_walk_tpu.ops import fatwalk
+from torch_random_walk_tpu.ops.fatwalk import FatMeta
+from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
+from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
+from torch_random_walk_tpu.ops.walk import edge_set_for, walk
+
+
+def random_graph(n, avg_deg, seed, with_dead_ends=False):
+    rng = np.random.default_rng(seed)
+    e = n * avg_deg
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    if with_dead_ends:
+        # Nodes in the top quarter get no out-edges.
+        keep = src < (3 * n) // 4
+        src, dst = src[keep], dst[keep]
+    return CSRGraph.from_edges(src, dst, num_nodes=n)
+
+
+class TestPackedLayout:
+    def test_roundtrip(self):
+        layout = PackedLayout(node_bits=21, start_bits=26, deg_bits=15)
+        rng = np.random.default_rng(0)
+        node = rng.integers(0, 2**21, 1000)
+        start = rng.integers(0, 2**26, 1000)
+        deg = rng.integers(0, 2**15, 1000)
+        rows = jnp.asarray(layout.pack_np(node, start, deg))
+        n2, s2, d2 = layout.unpack(rows)
+        np.testing.assert_array_equal(np.asarray(n2), node)
+        np.testing.assert_array_equal(np.asarray(s2), start)
+        np.testing.assert_array_equal(np.asarray(d2), deg)
+
+    def test_straddling_word_boundary(self):
+        # start field crosses bit 32.
+        layout = PackedLayout(node_bits=20, start_bits=25, deg_bits=12)
+        node, start, deg = [7], [(1 << 25) - 3], [(1 << 12) - 1]
+        rows = jnp.asarray(layout.pack_np(node, start, deg))
+        n2, s2, d2 = layout.unpack(rows)
+        assert (int(n2[0]), int(s2[0]), int(d2[0])) == (7, (1 << 25) - 3, (1 << 12) - 1)
+
+    def test_graph_tables_consistent(self):
+        g = random_graph(500, 6, seed=1)
+        rp = np.asarray(g.row_ptr)
+        ci = np.asarray(g.col_idx)
+        node, start, deg = g.layout.unpack(g.node_tab)
+        np.testing.assert_array_equal(np.asarray(node), np.arange(g.num_nodes))
+        np.testing.assert_array_equal(np.asarray(start), rp[:-1])
+        np.testing.assert_array_equal(np.asarray(deg), np.diff(rp))
+        dst, dstart, ddeg = g.layout.unpack(g.edge_tab)
+        np.testing.assert_array_equal(np.asarray(dst), ci)
+        np.testing.assert_array_equal(np.asarray(dstart), rp[:-1][ci])
+        np.testing.assert_array_equal(np.asarray(ddeg), np.diff(rp)[ci])
+
+
+class TestEdgeHashSet:
+    def test_membership_exact(self):
+        rng = np.random.default_rng(3)
+        n, e = 300, 2000
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        es = EdgeHashSet.from_edges(src, dst)
+        present = set(zip(src.tolist(), dst.tolist()))
+        # All present edges are found.
+        hit = es.contains(jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32))
+        assert bool(np.asarray(hit).all())
+        # Random queries match ground truth exactly (no false positives).
+        qu = rng.integers(0, n, 5000)
+        qv = rng.integers(0, n, 5000)
+        hit = np.asarray(es.contains(jnp.asarray(qu, jnp.int32),
+                                     jnp.asarray(qv, jnp.int32)))
+        truth = np.array([(a, b) in present for a, b in zip(qu, qv)])
+        np.testing.assert_array_equal(hit, truth)
+
+    def test_larger_build_converges(self):
+        rng = np.random.default_rng(4)
+        src = rng.integers(0, 50_000, 400_000)
+        dst = rng.integers(0, 50_000, 400_000)
+        es = EdgeHashSet.from_edges(src, dst)
+        hit = es.contains(jnp.asarray(src[:1000], jnp.int32),
+                          jnp.asarray(dst[:1000], jnp.int32))
+        assert bool(np.asarray(hit).all())
+
+
+class TestFatEquivalence:
+    @pytest.mark.parametrize("dead_ends", [False, True])
+    def test_uniform_bit_identical(self, dead_ends):
+        g = random_graph(400, 5, seed=7, with_dead_ends=dead_ends)
+        targets = jnp.arange(128, dtype=jnp.int32) % g.num_nodes
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 25, seed=11)
+        fat = fatwalk.uniform_walk_fat(g.edge_tab, g.node_tab, targets,
+                                       FatMeta.of(g), 25, seed=11)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    @pytest.mark.parametrize("p,q", [(0.5, 2.0), (4.0, 0.25), (1.0, 3.0)])
+    def test_node2vec_bit_identical(self, p, q):
+        g = random_graph(300, 6, seed=9)
+        targets = jnp.arange(96, dtype=jnp.int32) % g.num_nodes
+        ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, p, q, 20,
+                                seed=13, search_iters=g.search_iters)
+        es = edge_set_for(g)
+        fat = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                        targets, FatMeta.of(g), es.log_size,
+                                        es.salt, p, q, 20, seed=13)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    def test_node2vec_dead_ends(self):
+        g = random_graph(300, 4, seed=10, with_dead_ends=True)
+        targets = jnp.arange(64, dtype=jnp.int32) % g.num_nodes
+        ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, 0.5, 2.0, 15,
+                                seed=3, search_iters=g.search_iters)
+        es = edge_set_for(g)
+        fat = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                        targets, FatMeta.of(g), es.log_size,
+                                        es.salt, 0.5, 2.0, 15, seed=3)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    def test_public_walk_routes_to_fat(self):
+        """walk(CSRGraph, ...) output equals the raw-array (reference) path."""
+        g = random_graph(200, 5, seed=2)
+        targets = jnp.arange(50, dtype=jnp.int32) % g.num_nodes
+        via_graph = walk(g, target_nodes=targets, p=0.5, q=2.0,
+                         walk_length=12, seed=5)
+        via_arrays = walk(g.row_ptr, g.col_idx, targets, p=0.5, q=2.0,
+                          walk_length=12, seed=5)
+        np.testing.assert_array_equal(np.asarray(via_graph),
+                                      np.asarray(via_arrays))

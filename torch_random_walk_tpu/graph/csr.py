@@ -21,11 +21,76 @@ import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
+class PackedLayout:
+    """Static bit layout of the fat tables (see ``CSRGraph.edge_tab``).
+
+    A row packs ``(node, start, deg)`` into one 64-bit value split across two
+    uint32 words:  V = node | start << node_bits | deg << (node_bits +
+    start_bits).  All widths are Python ints, so jitted kernels specialize on
+    the layout and unpacking compiles to a couple of VPU shifts.
+    """
+
+    node_bits: int
+    start_bits: int
+    deg_bits: int
+
+    @property
+    def fits(self) -> bool:
+        return self.node_bits + self.start_bits + self.deg_bits <= 64
+
+    def pack_np(self, node, start, deg) -> np.ndarray:
+        """(k,) int arrays -> (k, 2) uint32 packed rows (host-side)."""
+        v = (
+            np.asarray(node, np.uint64)
+            | (np.asarray(start, np.uint64) << np.uint64(self.node_bits))
+            | (np.asarray(deg, np.uint64)
+               << np.uint64(self.node_bits + self.start_bits))
+        )
+        lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (v >> np.uint64(32)).astype(np.uint32)
+        return np.stack([lo, hi], axis=-1)
+
+    def _extract(self, w0, w1, offset: int, bits: int):
+        """Extract a field from two uint32 words; static offset/width."""
+        mask = jnp.uint32((1 << bits) - 1) if bits < 32 else jnp.uint32(0xFFFFFFFF)
+        if offset >= 32:
+            word = w1 >> jnp.uint32(offset - 32)
+        elif offset + bits <= 32:
+            word = w0 >> jnp.uint32(offset)
+        else:
+            word = (w0 >> jnp.uint32(offset)) | (w1 << jnp.uint32(32 - offset))
+        return (word & mask).astype(jnp.int32)
+
+    def unpack(self, rows):
+        """(k, 2) uint32 rows -> (node, start, deg) int32 arrays (in-kernel)."""
+        w0 = rows[..., 0]
+        w1 = rows[..., 1]
+        node = self._extract(w0, w1, 0, self.node_bits)
+        start = self._extract(w0, w1, self.node_bits, self.start_bits)
+        deg = self._extract(w0, w1, self.node_bits + self.start_bits,
+                            self.deg_bits)
+        return node, start, deg
+
+
+def _bits_for(n: int) -> int:
+    return max(1, int(n - 1).bit_length()) if n > 1 else 1
+
+
+@dataclasses.dataclass(frozen=True)
 class CSRGraph:
     """Compressed-sparse-row adjacency.
 
     row_ptr: (num_nodes + 1,) int — row offsets into col_idx.
     col_idx: (num_edges,) int — neighbor ids, sorted within each row.
+
+    Fat tables (the TPU hot path; see ops/fatwalk.py): the walk engine's
+    measured bottleneck is the TPU gather engine's *row rate*, and an (E, 2)
+    row gather runs ~2.6x faster than a scalar gather — so each walk step is
+    ONE row gather from ``edge_tab`` instead of three scalar gathers
+    (row_ptr[cur], row_ptr[cur+1], col_idx[idx]).  ``edge_tab[e]`` packs
+    (dst, row_ptr[dst], deg[dst]) of edge e's destination: after gathering it
+    you already hold everything needed for the *next* step.  ``node_tab[v]``
+    packs the same for node v (walk entry).
     """
 
     row_ptr: jnp.ndarray
@@ -34,6 +99,11 @@ class CSRGraph:
     num_nodes: int
     num_edges: int
     max_degree: int
+    # Fat-table hot path (None when packing exceeds 64 bits, e.g. >2^31 edges;
+    # kernels then fall back to the scalar-gather path).
+    layout: PackedLayout | None = None
+    edge_tab: jnp.ndarray | None = None  # (E, 2) uint32
+    node_tab: jnp.ndarray | None = None  # (N, 2) uint32
 
     @property
     def search_iters(self) -> int:
@@ -41,22 +111,44 @@ class CSRGraph:
         return max(1, int(math.ceil(math.log2(max(self.max_degree, 2)))) + 1)
 
     @classmethod
-    def from_arrays(cls, row_ptr, col_idx, sort_rows: bool = True) -> "CSRGraph":
+    def from_arrays(cls, row_ptr, col_idx, sort_rows: bool = True,
+                    build_fat: bool = True) -> "CSRGraph":
         row_ptr = np.asarray(row_ptr)
         col_idx = np.asarray(col_idx)
         num_nodes = int(row_ptr.shape[0]) - 1
+        num_edges = int(col_idx.shape[0])
         degrees = np.diff(row_ptr)
         if sort_rows and col_idx.size:
             # Sort neighbor ids within each row (required for binary search).
             order = np.lexsort((col_idx, np.repeat(np.arange(num_nodes), degrees)))
             col_idx = col_idx[order]
         dtype = np.int32 if num_nodes < 2**31 and col_idx.size < 2**31 else np.int64
+        max_degree = int(degrees.max()) if num_nodes else 0
+
+        layout = edge_tab = node_tab = None
+        if build_fat and num_nodes and num_edges:
+            layout = PackedLayout(
+                node_bits=_bits_for(num_nodes),
+                start_bits=_bits_for(num_edges + 1),
+                deg_bits=_bits_for(max_degree + 1),
+            )
+            if layout.fits:
+                starts = row_ptr[:-1]
+                edge_tab = jnp.asarray(layout.pack_np(
+                    col_idx, starts[col_idx], degrees[col_idx]))
+                node_tab = jnp.asarray(layout.pack_np(
+                    np.arange(num_nodes), starts, degrees))
+            else:
+                layout = None
         return cls(
             row_ptr=jnp.asarray(row_ptr.astype(dtype)),
             col_idx=jnp.asarray(col_idx.astype(dtype)),
             num_nodes=num_nodes,
-            num_edges=int(col_idx.shape[0]),
-            max_degree=int(degrees.max()) if num_nodes else 0,
+            num_edges=num_edges,
+            max_degree=max_degree,
+            layout=layout,
+            edge_tab=edge_tab,
+            node_tab=node_tab,
         )
 
     @classmethod

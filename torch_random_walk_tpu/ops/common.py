@@ -29,9 +29,12 @@ def sample_csr_neighbor(row_ptr, col_idx, cur, bits):
 
     Reference semantics (rw_cpu.cpp:7-30): pick a uniform out-edge of ``cur``.
     Degree-0 rows stay at ``cur`` (defined behavior replacing the reference's
-    ``rand() % 0`` UB — SURVEY.md §5 known-bugs list).
+    ``rand() % 0`` UB — SURVEY.md §5 known-bugs list).  A graph with no edges
+    at all leaves every walker in place.
     """
     num_edges = col_idx.shape[0]
+    if num_edges == 0:
+        return cur
     start = row_ptr[cur]
     deg = row_ptr[cur + 1] - start
     off = prng.randint_from_bits(bits, jnp.maximum(deg, 1))
@@ -48,6 +51,8 @@ def is_neighbor_csr(cand, t, row_ptr, col_idx, iters=DEFAULT_SEARCH_ITERS):
     Requires col_idx sorted within rows (CSRGraph builders guarantee it).
     """
     num_edges = col_idx.shape[0]
+    if num_edges == 0:
+        return jnp.zeros(cand.shape, bool)
     lo = row_ptr[t]
     end = row_ptr[t + 1]
 

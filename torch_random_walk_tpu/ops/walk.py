@@ -12,21 +12,42 @@ static search depth is used.
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 
+import numpy as np
 import jax
 
 from torch_random_walk_tpu.graph.csr import CSRGraph
 from torch_random_walk_tpu.graph.edge_list import EdgeListGraph
+from torch_random_walk_tpu.graph.hashset import EdgeHashSet
 from torch_random_walk_tpu.graph.triples import TriplesGraph
-from torch_random_walk_tpu.ops import common
+from torch_random_walk_tpu.ops import common, fatwalk
 from torch_random_walk_tpu.ops.edge_list_walk import (
     biased_walk_edge_list,
     uniform_walk_edge_list,
 )
+from torch_random_walk_tpu.ops.fatwalk import FatMeta
 from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
 from torch_random_walk_tpu.ops.triples_walk import uniform_walk_triples
 from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
+
+# Lazy per-graph cuckoo edge sets (biased walks only).  id-keyed with a
+# weakref finalizer: CSRGraph holds jnp arrays so it is not itself hashable.
+_EDGE_SET_CACHE: dict[int, EdgeHashSet] = {}
+
+
+def edge_set_for(graph: CSRGraph) -> EdgeHashSet:
+    key = id(graph)
+    es = _EDGE_SET_CACHE.get(key)
+    if es is None:
+        row_ptr = np.asarray(graph.row_ptr)
+        col_idx = np.asarray(graph.col_idx)
+        heads = np.repeat(np.arange(graph.num_nodes), np.diff(row_ptr))
+        es = EdgeHashSet.from_edges(heads, col_idx)
+        _EDGE_SET_CACHE[key] = es
+        weakref.finalize(graph, _EDGE_SET_CACHE.pop, key, None)
+    return es
 
 
 @partial(jax.jit, static_argnames=("walk_length",))
@@ -41,12 +62,37 @@ def _biased_csr(row_ptr, col_idx, target_nodes, p, q, walk_length, seed,
                              seed, search_iters=search_iters)
 
 
+@partial(jax.jit, static_argnames=("meta", "walk_length"))
+def _uniform_fat(edge_tab, node_tab, target_nodes, meta, walk_length, seed):
+    return fatwalk.uniform_walk_fat(edge_tab, node_tab, target_nodes, meta,
+                                    walk_length, seed)
+
+
+@partial(jax.jit, static_argnames=("meta", "hash_log_size", "hash_salt", "p",
+                                   "q", "walk_length"))
+def _biased_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
+                hash_log_size, hash_salt, p, q, walk_length, seed):
+    return fatwalk.node2vec_walk_fat(edge_tab, node_tab, hash_table,
+                                     target_nodes, meta, hash_log_size,
+                                     hash_salt, p, q, walk_length, seed)
+
+
 def walk(row_ptr, col_idx=None, target_nodes=None, p=1.0, q=1.0,
          walk_length=10, seed=0):
     """Reference-parity entry point (torch_rw/rw.py:3).  First argument may be
-    a CSRGraph instead of (row_ptr, col_idx)."""
+    a CSRGraph instead of (row_ptr, col_idx) — the CSRGraph form routes to the
+    fat-table engine (ops/fatwalk.py), the hot path on TPU."""
     if isinstance(row_ptr, CSRGraph):
         g = row_ptr
+        if g.edge_tab is not None:
+            meta = FatMeta.of(g)
+            if p == 1.0 and q == 1.0:
+                return _uniform_fat(g.edge_tab, g.node_tab, target_nodes,
+                                    meta, int(walk_length), int(seed))
+            es = edge_set_for(g)
+            return _biased_fat(g.edge_tab, g.node_tab, es.table, target_nodes,
+                               meta, es.log_size, es.salt, float(p), float(q),
+                               int(walk_length), int(seed))
         row_ptr, col_idx, iters = g.row_ptr, g.col_idx, g.search_iters
     else:
         iters = common.DEFAULT_SEARCH_ITERS
