@@ -1,0 +1,85 @@
+"""Native (C++) graph-preprocessing runtime tests.
+
+The native library (csrc/graph_native.cpp, loaded via ctypes from
+torch_random_walk_tpu/native/) must be a drop-in for the NumPy fallbacks:
+same CSR layout, bit-identical fat tables, and a cuckoo table the jnp query
+path reads correctly.  Tests run against whichever path is available and
+additionally cross-check the two when the native build is present.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from torch_random_walk_tpu import native
+from torch_random_walk_tpu.graph.csr import CSRGraph
+from torch_random_walk_tpu.graph.hashset import EdgeHashSet
+
+
+def _ref_csr(src, dst, n):
+    order = np.lexsort((dst, src))
+    counts = np.bincount(src, minlength=n)
+    row_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    return row_ptr, dst[order].astype(np.int32)
+
+
+class TestNativeBuilders:
+    def test_build_csr_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        n, e = 1000, 20_000
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        rp, ci = native.build_csr(src, dst, n)
+        rp_ref, ci_ref = _ref_csr(src, dst, n)
+        np.testing.assert_array_equal(rp, rp_ref)
+        np.testing.assert_array_equal(ci, ci_ref)
+
+    def test_pack_fat_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        n, e = 500, 5_000
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        rp, ci = native.build_csr(src, dst, n)
+        lib = native._LIB
+        et_a, nt_a = native.pack_fat(rp, ci, 10, 14)
+        native._LIB = False  # force numpy fallback
+        try:
+            et_b, nt_b = native.pack_fat(rp, ci, 10, 14)
+        finally:
+            native._LIB = lib
+        np.testing.assert_array_equal(et_a, et_b)
+        np.testing.assert_array_equal(nt_a, nt_b)
+
+    @pytest.mark.skipif(not native.available(),
+                        reason="native library not built (make -C csrc)")
+    def test_cuckoo_native_query_exact(self):
+        rng = np.random.default_rng(2)
+        n, e = 2000, 30_000
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        es = EdgeHashSet.from_edges(src, dst)  # native path when available
+        present = set(zip(src.tolist(), dst.tolist()))
+        hit = es.contains(jnp.asarray(src, jnp.int32),
+                          jnp.asarray(dst, jnp.int32))
+        assert bool(np.asarray(hit).all())
+        qu = rng.integers(0, n, 5000)
+        qv = rng.integers(0, n, 5000)
+        hit = np.asarray(es.contains(jnp.asarray(qu, jnp.int32),
+                                     jnp.asarray(qv, jnp.int32)))
+        truth = np.array([(a, b) in present for a, b in zip(qu, qv)])
+        np.testing.assert_array_equal(hit, truth)
+
+    def test_csr_graph_uses_native_path(self):
+        rng = np.random.default_rng(3)
+        n = 300
+        src = rng.integers(0, n, 3000)
+        dst = rng.integers(0, n, 3000)
+        g = CSRGraph.from_edges(src, dst, num_nodes=n)
+        rp_ref, ci_ref = _ref_csr(src.astype(np.int64), dst.astype(np.int64), n)
+        np.testing.assert_array_equal(np.asarray(g.row_ptr), rp_ref)
+        np.testing.assert_array_equal(np.asarray(g.col_idx), ci_ref)
+        # fat tables consistent regardless of builder
+        node, start, deg = g.layout.unpack(g.node_tab)
+        np.testing.assert_array_equal(np.asarray(start), rp_ref[:-1])
+        np.testing.assert_array_equal(np.asarray(deg), np.diff(rp_ref))

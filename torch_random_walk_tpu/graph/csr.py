@@ -133,11 +133,13 @@ class CSRGraph:
                 deg_bits=_bits_for(max_degree + 1),
             )
             if layout.fits:
-                starts = row_ptr[:-1]
-                edge_tab = jnp.asarray(layout.pack_np(
-                    col_idx, starts[col_idx], degrees[col_idx]))
-                node_tab = jnp.asarray(layout.pack_np(
-                    np.arange(num_nodes), starts, degrees))
+                from torch_random_walk_tpu import native
+
+                et, nt = native.pack_fat(row_ptr.astype(np.int64),
+                                         col_idx.astype(np.int32),
+                                         layout.node_bits, layout.start_bits)
+                edge_tab = jnp.asarray(et)
+                node_tab = jnp.asarray(nt)
             else:
                 layout = None
         return cls(
@@ -156,18 +158,16 @@ class CSRGraph:
         cls, src, dst, num_nodes: int | None = None, symmetrize: bool = False
     ) -> "CSRGraph":
         """Build from raw edge arrays (the scalable path for ogbn-scale graphs)."""
+        from torch_random_walk_tpu import native
+
         src = np.asarray(src, np.int64)
         dst = np.asarray(dst, np.int64)
         if symmetrize:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         if num_nodes is None:
             num_nodes = int(max(src.max(), dst.max())) + 1 if src.size else 0
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        counts = np.bincount(src, minlength=num_nodes)
-        row_ptr = np.zeros(num_nodes + 1, np.int64)
-        np.cumsum(counts, out=row_ptr[1:])
-        return cls.from_arrays(row_ptr, dst, sort_rows=False)
+        row_ptr, col_idx = native.build_csr(src, dst, num_nodes)
+        return cls.from_arrays(row_ptr, col_idx, sort_rows=False)
 
     @classmethod
     def from_networkx(cls, graph) -> "CSRGraph":

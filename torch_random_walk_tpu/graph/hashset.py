@@ -76,6 +76,16 @@ class EdgeHashSet:
         log_size = max(4, int(np.ceil(np.log2(max(4 * n, 16)))))
         size = 1 << log_size
 
+        # Native multi-threaded build when csrc/ is compiled (bit-compatible:
+        # same hash family, layout and salt-retry policy).
+        from torch_random_walk_tpu import native
+
+        built = native.cuckoo_build(src.astype(np.int64),
+                                    dst.astype(np.int64), log_size)
+        if built is not None:
+            table, salt = built
+            return cls(table=jnp.asarray(table), log_size=log_size, salt=salt)
+
         for salt in range(64):  # rehash attempts
             tbl_lo = np.full(size, _EMPTY, np.uint32)
             tbl_hi = np.full(size, _EMPTY, np.uint32)

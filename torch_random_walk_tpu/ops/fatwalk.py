@@ -134,29 +134,31 @@ def _compact(mask, capacity: int):
 
 
 
-def _level_schedule(p: float, q: float, num_walkers: int):
-    """Static straggler-compaction schedule for the biased rejection loop.
+def _hier_schedule(p: float, q: float, num_walkers: int):
+    """Static hierarchical-compaction schedule for the biased rejection loop.
 
-    Expected per-round acceptance is dominated by the distance-2 class in
-    sparse graphs, so residual unresolved fractions are estimated with
-    ``prob_2`` (slack 1.4x); capacity overflow is harmless — overflowed
-    walkers simply retry the same rounds later (identical redraws), caught by
-    the while_loop tail.  Returns [(capacity, rounds_in_level), ...].
+    Returns a list of level capacities [C1 > C2 > ...]; each level runs 2
+    hashed rounds on a sub-batch compacted *within its parent level* (so only
+    the first compaction and the final scatter touch full-B arrays).  Sized
+    from the no-hash decided-accept floor ``lo_acc`` with 1.3x slack;
+    capacity overflow walkers are caught by the while_loop tail.
     """
-    _, _, prob_2 = common.node2vec_accept_probs(p, q)
-    a = max(min(prob_2, 0.9), 0.05)
-    levels = []
-    residual = 1.0
-    rounds_done = 2  # the two full-batch rounds
-    for _ in range(8):
-        residual *= (1.0 - a) ** 2
-        cap = int(min(1.4 * residual * num_walkers, num_walkers))
+    prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
+    lo_acc = min(prob_1, prob_2)
+    a = max(min(lo_acc, 0.9), 0.05)
+    caps = []
+    residual = (1.0 - a) ** 2  # after the two no-hash full rounds
+    cap_prev = num_walkers
+    for _ in range(6):
+        cap = int(min(1.3 * residual * num_walkers, num_walkers))
         cap = max((cap + 127) // 128 * 128, 256)
-        if cap <= 512 or rounds_done >= 24:
+        cap = min(cap, cap_prev)
+        if cap <= 512:
             break
-        levels.append((cap, 2))
-        rounds_done += 2
-    return levels
+        caps.append(cap)
+        cap_prev = cap
+        residual *= (1.0 - a) ** 2  # two hashed rounds per level
+    return caps
 
 
 def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
@@ -165,136 +167,170 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
                       unroll=4):
     """node2vec p/q-biased walks over fat tables + cuckoo membership.
 
-    Bit-identical to ops.node2vec.node2vec_walk_csr: draws consume the same
-    threefry (walker, step, round) counters and the acceptance math is the
-    same boolean function, so every walker resolves to the same neighbor.
+    Bit-identical to ops.node2vec.node2vec_walk_csr: every walker consumes
+    threefry rounds (step, 0), (step, 1), ... in order and resolves on the
+    same round with the same accepted candidate; rearranging WHEN each round
+    is evaluated (freezing, compaction) never changes WHAT it evaluates to.
 
-    Rejection is *straggler-compacted*: synchronized full-batch rounds run
-    until the LAST of B walkers accepts (max over B geometrics ≈ 40+ rounds
-    at B=64K) even though the mean is ~1/acceptance ≈ 2-4, so nearly all
-    full-batch gather work would be wasted.  Instead: two full-batch rounds
-    resolve the bulk, then the shrinking unresolved set is compacted
-    (cumsum + scatter) into statically-scheduled smaller sub-batches
-    (_level_schedule), ending with a small-capacity while_loop.  Total gather
-    rows ≈ E[rounds] * B instead of max[rounds] * B.
+    Structure per step (sized for B >= 4096; small batches take a flat path):
 
-    Walker state rides in *packed* (2,)-uint32 rows (the very rows gathered
-    from edge_tab/node_tab), so each level moves state with one row gather +
-    one row scatter instead of three scalar ones.
-
-    Capacity overflow semantics: a walker that doesn't get a slot does not
-    consume rounds; it redraws the identical (step, round) counters later —
-    exactness and bit-identity are unaffected.
+    1. Two full-batch rounds with NO hash lookups: for cand != t the
+       acceptance threshold is prob_1 or prob_2 depending on the distance-1
+       test, so r < min(prob_1, prob_2) accepts and r >= max(...) rejects
+       regardless of it — only r inside the band needs the cuckoo query.
+       Banded ("frozen") walkers do not consume the round; they redraw the
+       identical (step, round) counters in a later level, where hashing
+       always happens.  This removes the 2 hash row-gathers (2/3 of the
+       gather rows) from the bulk of all draws.
+    2. Hierarchical straggler compaction: unresolved walkers compact into
+       level 1 (capacity C1 < B); level 2 compacts *within level 1's
+       arrays*, and so on — so cumsum/scatter costs shrink geometrically
+       instead of paying O(B) per level.  Each level runs 2 hashed rounds.
+       Results unwind level-by-level with one small scatter each, then one
+       full-B scatter at the top.
+    3. A small-capacity while_loop tail (flat, full-B compaction per
+       iteration) catches level-capacity overflow and extreme stragglers.
     """
     num_walkers = target_nodes.shape[0]
     key = prng.derive_key(seed, prng.STREAM_CSR_BIASED)
     prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
+    lo_acc = min(prob_1, prob_2)
+    hi_acc = max(prob_1, prob_2)
+    small = num_walkers < 4096
+    sentinel = num_walkers  # out-of-bounds scatter index == dropped
 
     t0_ = target_nodes.astype(jnp.int32)
-    safe0 = jnp.clip(t0_, 0, meta.num_nodes - 1)
-    t_row0 = node_tab[safe0]
+    t_row0 = node_tab[jnp.clip(t0_, 0, meta.num_nodes - 1)]
+    unpack3 = meta.layout.unpack
 
-    def unpack3(rows):
-        return meta.layout.unpack(rows)
+    def contains(u, v):
+        return _edge_set_contains(hash_table, hash_log_size, hash_salt, u, v)
 
-    def accept_fn(cand, r, t_sub, nbr):
+    def accept_full(cand, r, t_sub, nbr):
         is_t = cand == t_sub
-        return jnp.where(is_t, r < prob_0, jnp.where(nbr, r < prob_1,
-                                                     r < prob_2))
+        return jnp.where(is_t, r < prob_0,
+                         jnp.where(nbr, r < prob_1, r < prob_2))
 
     def draw(v_rows, wid_u32, c1):
-        """One candidate draw for each lane: returns (cand_row, cand, r).
-        Dead-end lanes (deg == 0) return their own row (stay in place)."""
+        """One candidate draw per lane -> (cand_row, cand, r).  Dead-end
+        lanes (deg == 0) return their own row (stay in place)."""
         _, start, deg = unpack3(v_rows)
         b_cand, b_acc = prng.counter_bits(key, wid_u32, c1)
         off = prng.randint_from_bits(b_cand, jnp.maximum(deg, 1))
         e = jnp.clip(start + off, 0, max(meta.num_edges - 1, 0))
         rows = edge_tab[e]
-        alive = (deg > 0)[:, None]
-        rows = jnp.where(alive, rows, v_rows)
-        r = prng.uniform_from_bits(b_acc)
-        return rows, r
+        rows = jnp.where((deg > 0)[:, None], rows, v_rows)
+        return rows, unpack3(rows)[0], prng.uniform_from_bits(b_acc)
 
     # First hop: plain uniform draw (rw_cpu.cpp:159).
     wid_full = common.walker_ids(num_walkers, walker_offset)
     c1 = jnp.full((num_walkers,), prng.step_round_counter(1), jnp.uint32)
-    v_row, _ = draw(t_row0, wid_full, c1)
+    v_row, v_init, _ = draw(t_row0, wid_full, c1)
 
-    levels = _level_schedule(p, q, num_walkers) if num_walkers >= 4096 else []
+    level_caps = [] if small else _hier_schedule(p, q, num_walkers)
     tail_capacity = min(1024, num_walkers)
-    tail_rounds = 4 if num_walkers >= 4096 else 1
+    tail_rounds = 4 if not small else 1
+
+    def hashed_rounds(step_u32, t_s, vrow_s, wid_s, rnd_s, l_res, l_sel,
+                      rounds):
+        """`rounds` consecutive full-acceptance (hashed) rejection rounds."""
+        for _ in range(rounds):
+            c1 = prng.step_round_counter(step_u32, rnd_s)
+            cand_row, cand, r = draw(vrow_s, wid_s, c1)
+            nbr = contains(t_s, cand)
+            take = ~l_res & accept_full(cand, r, t_s, nbr)
+            l_sel = jnp.where(take[:, None], cand_row, l_sel)
+            l_res = l_res | take
+            rnd_s = rnd_s + 1
+        return l_res, l_sel, rnd_s
 
     def step_fn(carry, step_u32):
         t, v_row = carry
-        v, _, v_deg = unpack3(v_row)
+        v = unpack3(v_row)[0]
+        v_deg = unpack3(v_row)[2]
 
-        # Dead-end walkers resolve immediately to v (the candidate is v every
-        # round; some round always accepts; the value is v either way).
+        # Dead ends resolve immediately to v (candidate == v every round and
+        # some round always accepts; the value is v either way).
         resolved = v_deg == 0
         sel_row = v_row
         rnd = jnp.zeros((num_walkers,), jnp.uint32)
 
-        # Two full-batch rounds.
-        for k in range(2):
+        # Full-batch rounds.
+        for _ in range(2):
             c1 = prng.step_round_counter(step_u32, rnd)
-            cand_row, r = draw(v_row, wid_full, c1)
-            cand = unpack3(cand_row)[0]
-            nbr = _edge_set_contains(hash_table, hash_log_size, hash_salt,
-                                     t, cand)
-            take = ~resolved & accept_fn(cand, r, t, nbr)
+            cand_row, cand, r = draw(v_row, wid_full, c1)
+            if small:
+                nbr = contains(t, cand)
+                take = ~resolved & accept_full(cand, r, t, nbr)
+                served = jnp.ones((num_walkers,), bool)
+            else:
+                is_t = cand == t
+                dec_acc = jnp.where(is_t, r < prob_0, r < lo_acc)
+                dec_rej = jnp.where(is_t, r >= prob_0, r >= hi_acc)
+                served = dec_acc | dec_rej
+                take = ~resolved & dec_acc
             sel_row = jnp.where(take[:, None], cand_row, sel_row)
             resolved = resolved | take
-            rnd = rnd + 1
+            rnd = rnd + served.astype(jnp.uint32)
 
-        def run_level(state, capacity, rounds):
-            resolved, sel_row, rnd = state
-            idx = _compact(~resolved, capacity)
-            safe = jnp.minimum(idx, num_walkers - 1)
-            act = idx < num_walkers
-            t_s = t[safe]
-            v_row_s = v_row[safe]
-            wid_s = safe.astype(jnp.uint32) + jnp.uint32(walker_offset)
-            rnd_s = rnd[safe]
-            l_res = jnp.zeros((capacity,), bool)
-            l_sel = v_row_s
-            for k in range(rounds):
-                c1 = prng.step_round_counter(step_u32, rnd_s + jnp.uint32(k))
-                cand_row, r = draw(v_row_s, wid_s, c1)
-                cand = unpack3(cand_row)[0]
-                nbr = _edge_set_contains(hash_table, hash_log_size, hash_salt,
-                                         t_s, cand)
-                take = ~l_res & accept_fn(cand, r, t_s, nbr)
-                l_sel = jnp.where(take[:, None], cand_row, l_sel)
-                l_res = l_res | take
+        # Hierarchical compacted levels (2 hashed rounds each).  The down
+        # pass saves each parent's (res, sel, rnd) so the up pass can scatter
+        # the child's outcomes into exactly the lanes it was compacted from.
+        stack = []
+        cur_t, cur_vrow, cur_wid = t, v_row, wid_full
+        cur_res, cur_sel, cur_rnd = resolved, sel_row, rnd
+        cur_size = num_walkers
+        for cap in level_caps:
+            idx = _compact(~cur_res, cap)
+            safe = jnp.minimum(idx, cur_size - 1)
+            act = idx < cur_size
+            stack.append((idx, act, cur_size, cur_res, cur_sel, cur_rnd))
+            cur_t = cur_t[safe]
+            cur_vrow = cur_vrow[safe]
+            cur_wid = cur_wid[safe]
+            cur_res, cur_sel, cur_rnd = hashed_rounds(
+                step_u32, cur_t, cur_vrow, cur_wid, cur_rnd[safe], ~act,
+                cur_vrow, 2)
+            cur_size = cap
+        for idx, act, parent_size, p_res, p_sel, p_rnd in reversed(stack):
+            win = cur_res & act
+            idx_w = jnp.where(win, idx, parent_size)
+            p_sel = p_sel.at[idx_w].set(cur_sel)
+            p_res = p_res.at[idx_w].set(True)
+            p_rnd = p_rnd.at[jnp.where(act, idx, parent_size)].set(cur_rnd)
+            cur_res, cur_sel, cur_rnd = p_res, p_sel, p_rnd
+        resolved, sel_row, rnd = cur_res, cur_sel, cur_rnd
+
+        # Flat while_loop tail: catches capacity overflow + extreme
+        # stragglers (full-B compaction per iteration, tiny capacity).
+        def tail_level(state):
+            res, sel, rn = state
+            idx = _compact(~res, tail_capacity)
+            safe = jnp.minimum(idx, sentinel - 1)
+            act = idx < sentinel
+            l_res, l_sel, l_rnd = hashed_rounds(
+                step_u32, t[safe], v_row[safe], wid_full[safe], rn[safe],
+                ~act, v_row[safe], tail_rounds)
             win = l_res & act
-            idx_w = jnp.where(win, idx, num_walkers)
-            sel_row = sel_row.at[idx_w].set(l_sel)
-            resolved = resolved.at[idx_w].set(True)
-            rnd = rnd.at[jnp.where(act, idx, num_walkers)].add(
-                jnp.uint32(rounds))
-            return resolved, sel_row, rnd
-
-        state = (resolved, sel_row, rnd)
-        for capacity, rounds in levels:
-            state = run_level(state, capacity, rounds)
+            idx_w = jnp.where(win, idx, sentinel)
+            sel = sel.at[idx_w].set(l_sel)
+            res = res.at[idx_w].set(True)
+            rn = rn.at[jnp.where(act, idx, sentinel)].set(l_rnd)
+            return res, sel, rn
 
         def cond(state):
-            resolved, _, rnd = state
-            return jnp.logical_and(~jnp.all(resolved),
-                                   rnd.max() < jnp.uint32(max_rounds))
+            res, _, rn = state
+            return jnp.logical_and(~jnp.all(res),
+                                   rn.max() < jnp.uint32(max_rounds))
 
-        def body(state):
-            return run_level(state, tail_capacity, tail_rounds)
-
-        _, sel_row, _ = lax.while_loop(cond, body, state)
+        _, sel_row, _ = lax.while_loop(cond, tail_level,
+                                       (resolved, sel_row, rnd))
         nxt = unpack3(sel_row)[0]
         return (v, sel_row), nxt
 
-    t_init = t0_
-    v_init = unpack3(v_row)[0]
     if walk_length < 2:
-        return jnp.concatenate([t_init[:, None], v_init[:, None]], axis=1)
+        return jnp.concatenate([t0_[:, None], v_init[:, None]], axis=1)
     steps = jnp.arange(2, walk_length + 1, dtype=jnp.uint32)
-    _, seq = lax.scan(step_fn, (t_init, v_row), steps,
+    _, seq = lax.scan(step_fn, (t0_, v_row), steps,
                       unroll=min(unroll, walk_length - 1))
-    return jnp.concatenate([t_init[:, None], v_init[:, None], seq.T], axis=1)
+    return jnp.concatenate([t0_[:, None], v_init[:, None], seq.T], axis=1)
