@@ -1,0 +1,96 @@
+"""Auxiliary-subsystem tests: checkpoint/resume, profiling helpers, metrics."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from torch_random_walk_tpu.graph.csr import CSRGraph
+from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
+from torch_random_walk_tpu.utils import checkpoint, profiling
+from torch_random_walk_tpu.utils.logging import MetricsWriter
+
+
+def toy_graph():
+    rng = np.random.default_rng(0)
+    n = 64
+    src = np.concatenate([np.arange(n), rng.integers(0, n, 2 * n)])
+    dst = np.concatenate([(np.arange(n) + 1) % n, rng.integers(0, n, 2 * n)])
+    return CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        g = toy_graph()
+        n2v = Node2Vec(g, Node2VecConfig(dim=16, walk_length=6, window_size=3))
+        params, opt_state = n2v.init()
+        targets = jnp.arange(g.num_nodes, dtype=jnp.int32)
+        params, opt_state, _ = n2v.epoch_step(params, opt_state, targets,
+                                              jnp.uint32(0))
+        path = str(tmp_path / "ckpt")
+        checkpoint.save(path, {"params": params, "opt": opt_state}, step=1,
+                        metadata={"seed": 0})
+        assert checkpoint.latest_step(path) == 1
+
+        fresh_params, fresh_opt = n2v.init()
+        restored, step = checkpoint.restore(
+            path, {"params": fresh_params, "opt": fresh_opt})
+        assert step == 1
+        for a, b in zip(__import__("jax").tree.leaves(restored["params"]),
+                        __import__("jax").tree.leaves(params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_resume_continues_identically(self, tmp_path):
+        """Training N epochs straight == training k, checkpoint, resume, N-k."""
+        g = toy_graph()
+        n2v = Node2Vec(g, Node2VecConfig(dim=8, walk_length=5, window_size=3))
+        targets = jnp.arange(g.num_nodes, dtype=jnp.int32)
+
+        params, opt = n2v.init()
+        for e in range(4):
+            params, opt, _ = n2v.epoch_step(params, opt, targets, jnp.uint32(e))
+
+        p2, o2 = n2v.init()
+        for e in range(2):
+            p2, o2, _ = n2v.epoch_step(p2, o2, targets, jnp.uint32(e))
+        path = str(tmp_path / "ckpt")
+        checkpoint.save(path, {"p": p2, "o": o2}, step=2)
+        fresh = n2v.init()
+        restored, step = checkpoint.restore(path, {"p": fresh[0], "o": fresh[1]})
+        p3, o3 = restored["p"], restored["o"]
+        for e in range(step, 4):
+            p3, o3, _ = n2v.epoch_step(p3, o3, targets, jnp.uint32(e))
+        np.testing.assert_allclose(np.asarray(params["in_emb"]),
+                                   np.asarray(p3["in_emb"]), rtol=1e-6)
+
+    def test_restore_missing_returns_none(self, tmp_path):
+        out, step = checkpoint.restore(str(tmp_path / "nope"), {"x": jnp.ones(2)})
+        assert out is None and step is None
+
+
+class TestProfiling:
+    def test_step_timer_and_checksum(self):
+        def fn(x):
+            return x * 2 + 1
+
+        x = jnp.arange(128.0)
+        dt = profiling.StepTimer().time(fn, x, warmup=1, iters=2)
+        assert dt > 0
+        assert profiling.sync(fn(x)) == float(np.sum(np.arange(128.0) * 2 + 1))
+
+    def test_annotate_runs(self):
+        with profiling.annotate("test-region"):
+            _ = jnp.ones(4).sum()
+
+
+class TestMetrics:
+    def test_jsonl_emit(self, tmp_path):
+        path = str(tmp_path / "metrics.jsonl")
+        w = MetricsWriter(path)
+        w.emit(step=1, loss=0.5)
+        w.emit(step=2, loss=0.25)
+        w.close()
+        lines = [json.loads(line) for line in open(path)]
+        assert [r["step"] for r in lines] == [1, 2]
+        assert all("ts" in r for r in lines)

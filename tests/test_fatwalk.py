@@ -138,3 +138,71 @@ class TestFatEquivalence:
                           walk_length=12, seed=5)
         np.testing.assert_array_equal(np.asarray(via_graph),
                                       np.asarray(via_arrays))
+
+
+class TestEdgeListTriplesFat:
+    def _edge_graph(self, seed, dead_ends=True):
+        from torch_random_walk_tpu.graph.edge_list import EdgeListGraph
+        rng = np.random.default_rng(seed)
+        n, e = 200, 1200
+        src = rng.integers(0, (3 * n) // 4 if dead_ends else n, e)
+        dst = rng.integers(0, n, e)
+        return EdgeListGraph.from_arrays(np.stack([src, dst], 1), num_nodes=n)
+
+    @pytest.mark.parametrize("restart", [True, False])
+    def test_edge_list_uniform_bit_identical(self, restart):
+        from torch_random_walk_tpu.ops.edge_list_walk import (
+            uniform_walk_edge_list)
+        g = self._edge_graph(11)
+        targets = jnp.arange(128, dtype=jnp.int32) % g.num_nodes
+        ref = uniform_walk_edge_list(g.edge_list, g.node_edge_index, targets,
+                                     20, 9, -1, restart)
+        fat = fatwalk.uniform_walk_edge_list_fat(
+            g.edge_tab, g.node_tab, targets, FatMeta.of(g), 20, 9, -1, restart)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    def test_edge_list_public_routing(self):
+        from torch_random_walk_tpu.ops.walk import walk_edge_list
+        g = self._edge_graph(12)
+        targets = jnp.arange(64, dtype=jnp.int32) % g.num_nodes
+        via_graph = walk_edge_list(g, target_nodes=targets, walk_length=10,
+                                   seed=4, padding_idx=-1, restart=True)
+        via_arrays = walk_edge_list(g.edge_list, g.node_edge_index, targets,
+                                    walk_length=10, seed=4, padding_idx=-1,
+                                    restart=True)
+        np.testing.assert_array_equal(np.asarray(via_graph),
+                                      np.asarray(via_arrays))
+
+    def test_triples_uniform_bit_identical(self):
+        from torch_random_walk_tpu.graph.triples import TriplesGraph
+        from torch_random_walk_tpu.ops.triples_walk import uniform_walk_triples
+        rng = np.random.default_rng(13)
+        n, e, r = 150, 900, 12
+        heads = rng.integers(0, (3 * n) // 4, e)
+        rels = rng.integers(0, r, e)
+        tails = rng.integers(0, n, e)
+        g = TriplesGraph.from_arrays(np.stack([heads, rels, tails], 1),
+                                     num_entities=n)
+        targets = jnp.arange(96, dtype=jnp.int32) % n
+        ref = uniform_walk_triples(g.triples, g.relation_tail_index, targets,
+                                   15, -1, True, 21)
+        fat = fatwalk.uniform_walk_triples_fat(g.triple_tab, g.node_meta,
+                                               targets, 15, -1, 21,
+                                               g.num_entities, g.num_triples)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    def test_triples_public_routing(self):
+        from torch_random_walk_tpu.graph.triples import TriplesGraph
+        from torch_random_walk_tpu.ops.walk import walk_triples
+        rng = np.random.default_rng(14)
+        n = 100
+        t = np.stack([rng.integers(0, n, 500), rng.integers(0, 5, 500),
+                      rng.integers(0, n, 500)], 1)
+        g = TriplesGraph.from_arrays(t, num_entities=n)
+        targets = jnp.arange(32, dtype=jnp.int32) % n
+        via_graph = walk_triples(g, target_nodes=targets, walk_length=8,
+                                 seed=2, padding_idx=-1)
+        via_arrays = walk_triples(g.triples, g.relation_tail_index, targets,
+                                  walk_length=8, seed=2, padding_idx=-1)
+        np.testing.assert_array_equal(np.asarray(via_graph),
+                                      np.asarray(via_arrays))

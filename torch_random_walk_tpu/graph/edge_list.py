@@ -29,16 +29,27 @@ import math
 import numpy as np
 import jax.numpy as jnp
 
+from torch_random_walk_tpu.graph.csr import PackedLayout, _bits_for
+
 
 @dataclasses.dataclass(frozen=True)
 class EdgeListGraph:
-    """Sorted indexed edge list + per-node edge-range index."""
+    """Sorted indexed edge list + per-node edge-range index.
+
+    Fat tables (TPU hot path, ops/fatwalk.py): ``edge_tab[e]`` packs
+    (tail, start_tail, cnt_tail) — everything the next uniform step needs in
+    ONE row gather; ``node_tab[v]`` packs the same per node.  ``cnt`` is the
+    out-edge count (0 encodes the reference's (-1, -1) dead-end sentinel).
+    """
 
     edge_list: jnp.ndarray  # (E, 2) [head, tail], sorted by (head, tail)
     node_edge_index: jnp.ndarray  # (N, 2) [start, end-inclusive], -1 sentinel
     num_nodes: int
     num_edges: int
     max_degree: int
+    layout: PackedLayout | None = None
+    edge_tab: jnp.ndarray | None = None  # (E, 2) uint32
+    node_tab: jnp.ndarray | None = None  # (N, 2) uint32
 
     @property
     def search_iters(self) -> int:
@@ -59,12 +70,33 @@ class EdgeListGraph:
         node_edge_index = np.stack([starts, ends], axis=1)
         node_edge_index[counts == 0] = -1
         dtype = np.int32 if edges.size == 0 or edges.max() < 2**31 else np.int64
+        num_edges = int(edges.shape[0])
+        max_degree = int(counts.max()) if num_nodes else 0
+
+        layout = edge_tab = node_tab = None
+        if num_nodes and num_edges:
+            layout = PackedLayout(
+                node_bits=_bits_for(num_nodes),
+                start_bits=_bits_for(num_edges + 1),
+                deg_bits=_bits_for(max_degree + 1),
+            )
+            if layout.fits:
+                tails = edges[:, 1]
+                edge_tab = jnp.asarray(layout.pack_np(
+                    tails, starts[tails], counts[tails]))
+                node_tab = jnp.asarray(layout.pack_np(
+                    np.arange(num_nodes), starts, counts))
+            else:
+                layout = None
         return cls(
             edge_list=jnp.asarray(edges.astype(dtype)),
             node_edge_index=jnp.asarray(node_edge_index.astype(dtype)),
             num_nodes=num_nodes,
-            num_edges=int(edges.shape[0]),
-            max_degree=int(counts.max()) if num_nodes else 0,
+            num_edges=num_edges,
+            max_degree=max_degree,
+            layout=layout,
+            edge_tab=edge_tab,
+            node_tab=node_tab,
         )
 
     @classmethod

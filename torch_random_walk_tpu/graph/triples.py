@@ -19,11 +19,21 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class TriplesGraph:
+    """KG triples + per-head range index.
+
+    Fat table (TPU hot path): ``triple_tab[i]`` = (relation_i, tail_i,
+    start_tail_i, cnt_tail_i) int32 — one (T, 4) row gather yields the step's
+    (relation, tail) output pair AND the next head's sampling range.
+    ``node_meta[v]`` = (start_v, cnt_v) int32 for walk entry.
+    """
+
     triples: jnp.ndarray  # (E, 3) [head, relation, tail] sorted by head
     relation_tail_index: jnp.ndarray  # (N, 2) [start, end-inclusive]
     num_entities: int
     num_triples: int
     max_degree: int
+    triple_tab: jnp.ndarray | None = None  # (T, 4) int32
+    node_meta: jnp.ndarray | None = None   # (N, 2) int32
 
     @property
     def search_iters(self) -> int:
@@ -44,12 +54,23 @@ class TriplesGraph:
         index = np.stack([starts, ends], axis=1)
         index[counts == 0] = -1
         dtype = np.int32 if t.size == 0 or t.max() < 2**31 else np.int64
+        triple_tab = node_meta = None
+        if num_entities and t.size and t.max() < 2**31:
+            cnts = counts  # out-triple count per head (0 = dead end)
+            tails = t[:, 2]
+            triple_tab = jnp.asarray(np.stack(
+                [t[:, 1], tails, starts[tails], cnts[tails]],
+                axis=1).astype(np.int32))
+            node_meta = jnp.asarray(np.stack(
+                [starts, cnts], axis=1).astype(np.int32))
         return cls(
             triples=jnp.asarray(t.astype(dtype)),
             relation_tail_index=jnp.asarray(index.astype(dtype)),
             num_entities=num_entities,
             num_triples=int(t.shape[0]),
             max_degree=int(counts.max()) if num_entities else 0,
+            triple_tab=triple_tab,
+            node_meta=node_meta,
         )
 
 

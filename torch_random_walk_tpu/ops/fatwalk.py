@@ -150,7 +150,7 @@ def _hier_schedule(p: float, q: float, num_walkers: int):
     residual = (1.0 - a) ** 2  # after the two no-hash full rounds
     cap_prev = num_walkers
     for _ in range(6):
-        cap = int(min(1.3 * residual * num_walkers, num_walkers))
+        cap = int(min(1.15 * residual * num_walkers, num_walkers))
         cap = max((cap + 127) // 128 * 128, 256)
         cap = min(cap, cap_prev)
         if cap <= 512:
@@ -228,8 +228,8 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
     v_row, v_init, _ = draw(t_row0, wid_full, c1)
 
     level_caps = [] if small else _hier_schedule(p, q, num_walkers)
-    tail_capacity = min(1024, num_walkers)
-    tail_rounds = 4 if not small else 1
+    tail_capacity = min(2048, num_walkers)
+    tail_rounds = 8 if not small else 1
 
     def hashed_rounds(step_u32, t_s, vrow_s, wid_s, rnd_s, l_res, l_sel,
                       rounds):
@@ -334,3 +334,96 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
     _, seq = lax.scan(step_fn, (t0_, v_row), steps,
                       unroll=min(unroll, walk_length - 1))
     return jnp.concatenate([t0_[:, None], v_init[:, None], seq.T], axis=1)
+
+
+def uniform_walk_edge_list_fat(edge_tab, node_tab, target_nodes, meta,
+                               walk_length, seed, padding_idx, restart,
+                               walker_offset=0, unroll=8):
+    """Edge-list walks with padding/restart semantics, one row gather/step.
+
+    Bit-identical to ops.edge_list_walk.uniform_walk_edge_list.  Packed rows
+    carry (tail, start_tail, cnt_tail); cnt == 0 encodes the reference's
+    (-1, -1) no-out-edges sentinel (rw_cpu_edge_list.cpp:21-22), so the walk
+    semantics are: at padding -> jump (target if restart else padding);
+    cnt == 0 -> padding; else a uniform out-edge of cur.
+    """
+    num_walkers = target_nodes.shape[0]
+    wid = common.walker_ids(num_walkers, walker_offset)
+    key = prng.derive_key(seed, prng.STREAM_EDGE_UNIFORM)
+    cur0 = target_nodes.astype(jnp.int32)
+    pad = jnp.int32(padding_idx)
+
+    safe0 = jnp.clip(cur0, 0, meta.num_nodes - 1)
+    _, start0, cnt0 = meta.layout.unpack(node_tab[safe0])
+    if restart:
+        jump, jump_start, jump_cnt = cur0, start0, cnt0
+    else:
+        jump = jnp.full_like(cur0, pad)
+        jump_start = jnp.zeros_like(start0)
+        jump_cnt = jnp.zeros_like(cnt0)
+
+    def step_fn(carry, s):
+        cur, start, cnt = carry
+        c1 = jnp.full((num_walkers,), prng.step_round_counter(s), jnp.uint32)
+        bits, _ = prng.counter_bits(key, wid, c1)
+        off = prng.randint_from_bits(bits, jnp.maximum(cnt, 1))
+        e = jnp.clip(start + off, 0, max(meta.num_edges - 1, 0))
+        tail, t_start, t_cnt = meta.layout.unpack(edge_tab[e])
+        at_pad = cur == pad
+        has = cnt > 0
+        nxt = jnp.where(at_pad, jump, jnp.where(has, tail, pad))
+        nstart = jnp.where(at_pad, jump_start, jnp.where(has, t_start, 0))
+        ncnt = jnp.where(at_pad, jump_cnt, jnp.where(has, t_cnt, 0))
+        return (nxt, nstart, ncnt), nxt
+
+    steps = jnp.arange(1, walk_length + 1, dtype=jnp.uint32)
+    _, seq = lax.scan(step_fn, (cur0, start0, cnt0), steps,
+                      unroll=min(unroll, walk_length) if walk_length else 1)
+    return jnp.concatenate([cur0[:, None], seq.T], axis=1)
+
+
+def uniform_walk_triples_fat(triple_tab, node_meta, target_nodes, walk_length,
+                             padding_idx, seed, num_entities, num_triples,
+                             walker_offset=0, unroll=8):
+    """KG-triples walks [v0, r1, v1, ...], one (T, 4) row gather per step.
+
+    Bit-identical to ops.triples_walk.uniform_walk_triples; padding absorbs
+    (rw_cpu_triples.cpp:38-42).
+    """
+    num_walkers = target_nodes.shape[0]
+    wid = common.walker_ids(num_walkers, walker_offset)
+    key = prng.derive_key(seed, prng.STREAM_TRIPLES)
+    cur0 = target_nodes.astype(jnp.int32)
+    pad = jnp.int32(padding_idx)
+
+    safe0 = jnp.clip(cur0, 0, max(num_entities - 1, 0))
+    meta0 = node_meta[safe0]
+    start0, cnt0 = meta0[:, 0], meta0[:, 1]
+    # Padding / unknown entry behaves as a dead end from step 1.
+    valid0 = (cur0 != pad) & (cur0 >= 0) & (cur0 < num_entities)
+    cnt0 = jnp.where(valid0, cnt0, 0)
+
+    def step_fn(carry, s):
+        start, cnt = carry
+        c1 = jnp.full((num_walkers,), prng.step_round_counter(s), jnp.uint32)
+        bits, _ = prng.counter_bits(key, wid, c1)
+        off = prng.randint_from_bits(bits, jnp.maximum(cnt, 1))
+        i = jnp.clip(start + off, 0, max(num_triples - 1, 0))
+        row = triple_tab[i]             # (B, 4): rel, tail, start_t, cnt_t
+        has = cnt > 0
+        rel = jnp.where(has, row[:, 0], pad)
+        tail = jnp.where(has, row[:, 1], pad)
+        nstart = jnp.where(has, row[:, 2], 0)
+        ncnt = jnp.where(has, row[:, 3], 0)
+        return (nstart, ncnt), (rel, tail)
+
+    steps = jnp.arange(1, walk_length + 1, dtype=jnp.uint32)
+    _, (rels, tails) = lax.scan(step_fn, (start0, cnt0), steps,
+                                unroll=min(unroll, walk_length)
+                                if walk_length else 1)
+    walks = jnp.zeros((num_walkers, 2 * walk_length + 1), jnp.int32)
+    walks = walks.at[:, 0].set(cur0)
+    if walk_length:
+        walks = walks.at[:, 1::2].set(rels.T)
+        walks = walks.at[:, 2::2].set(tails.T)
+    return walks

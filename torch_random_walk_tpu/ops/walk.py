@@ -119,13 +119,28 @@ def _biased_edge(edge_list, node_edge_index, target_nodes, p, q, walk_length,
                                  search_iters=search_iters)
 
 
+@partial(jax.jit, static_argnames=("meta", "walk_length", "padding_idx",
+                                   "restart"))
+def _uniform_edge_fat(edge_tab, node_tab, target_nodes, meta, walk_length,
+                      seed, padding_idx, restart):
+    return fatwalk.uniform_walk_edge_list_fat(edge_tab, node_tab,
+                                              target_nodes, meta, walk_length,
+                                              seed, padding_idx, restart)
+
+
 def walk_edge_list(edge_list_indexed, node_edge_index=None, target_nodes=None,
                    p=1.0, q=1.0, walk_length=10, seed=0, padding_idx=-1,
                    restart=True):
     """Reference-parity entry point (torch_rw/rw.py:6).  First argument may be
-    an EdgeListGraph instead of (edge_list_indexed, node_edge_index)."""
+    an EdgeListGraph instead of (edge_list_indexed, node_edge_index) — that
+    form routes uniform walks to the fat-table engine."""
     if isinstance(edge_list_indexed, EdgeListGraph):
         g = edge_list_indexed
+        if g.edge_tab is not None and p == 1.0 and q == 1.0:
+            meta = FatMeta.of(g)
+            return _uniform_edge_fat(g.edge_tab, g.node_tab, target_nodes,
+                                     meta, int(walk_length), int(seed),
+                                     int(padding_idx), bool(restart))
         edge_list_indexed, node_edge_index = g.edge_list, g.node_edge_index
         iters = g.search_iters
     else:
@@ -146,12 +161,28 @@ def _triples(triples, relation_tail_index, target_nodes, walk_length,
                                 walk_length, padding_idx, restart, seed)
 
 
+@partial(jax.jit, static_argnames=("walk_length", "padding_idx",
+                                   "num_entities", "num_triples"))
+def _triples_fat(triple_tab, node_meta, target_nodes, walk_length,
+                 padding_idx, seed, num_entities, num_triples):
+    return fatwalk.uniform_walk_triples_fat(triple_tab, node_meta,
+                                            target_nodes, walk_length,
+                                            padding_idx, seed, num_entities,
+                                            num_triples)
+
+
 def walk_triples(triples_indexed, relation_tail_index=None, target_nodes=None,
                  walk_length=10, padding_idx=-1, seed=0, restart=True):
     """Reference-parity entry point (torch_rw/rw.py:18).  First argument may
-    be a TriplesGraph."""
+    be a TriplesGraph — that form routes to the fat-table engine.  ``restart``
+    is accepted and ignored, matching the reference's dead parameter
+    (rw_cpu_triples.cpp:53)."""
     if isinstance(triples_indexed, TriplesGraph):
         g = triples_indexed
+        if g.triple_tab is not None:
+            return _triples_fat(g.triple_tab, g.node_meta, target_nodes,
+                                int(walk_length), int(padding_idx), int(seed),
+                                g.num_entities, g.num_triples)
         triples_indexed, relation_tail_index = g.triples, g.relation_tail_index
     return _triples(triples_indexed, relation_tail_index, target_nodes,
                     int(walk_length), int(padding_idx), bool(restart),

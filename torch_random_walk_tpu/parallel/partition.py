@@ -47,6 +47,10 @@ class PartitionedCSR:
 
     row_ptr_shards: jnp.ndarray
     col_shards: jnp.ndarray
+    # (D, S, 2) int32 [start, deg] per local node — one row gather per step
+    # (BENCHLOG.md: row gathers are ~2.6x scalar gathers on the TPU gather
+    # engine; this replaces the two row_ptr scalar gathers of the naive step).
+    node_meta_shards: jnp.ndarray
     num_nodes: int
     num_shards: int
     shard_nodes: int  # S: nodes per shard (padded)
@@ -71,9 +75,13 @@ class PartitionedCSR:
         col = np.zeros((num_shards, e_max), col_idx.dtype)
         for d, c in enumerate(locals_col):
             col[d, : c.size] = c
+        rp_stack = np.stack(locals_rp)
+        meta = np.stack([rp_stack[:, :-1], np.diff(rp_stack, axis=1)],
+                        axis=-1).astype(np.int32)
         return cls(
-            row_ptr_shards=jnp.asarray(np.stack(locals_rp)),
+            row_ptr_shards=jnp.asarray(rp_stack),
             col_shards=jnp.asarray(col),
+            node_meta_shards=jnp.asarray(meta),
             num_nodes=n,
             num_shards=num_shards,
             shard_nodes=s,
@@ -83,7 +91,7 @@ class PartitionedCSR:
         """Place each partition on its device along ``axis``."""
         sharding = NamedSharding(mesh, P(axis))
         return (
-            jax.device_put(self.row_ptr_shards, sharding),
+            jax.device_put(self.node_meta_shards, sharding),
             jax.device_put(self.col_shards, sharding),
         )
 
@@ -107,11 +115,11 @@ def walk_partitioned(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         NamedSharding(mesh, P(axis)),
     )
 
-    def shard_fn(rp, col, tgt_local):
-        rp = rp[0]        # (S + 1,)  local row offsets
+    def shard_fn(meta, col, tgt_local):
+        meta = meta[0]    # (S, 2)  local [start, deg] rows
         col = col[0]      # (E_max,)  global neighbor ids
         my = lax.axis_index(axis)
-        lo = (my * shard_nodes).astype(rp.dtype)
+        lo = (my * shard_nodes).astype(meta.dtype)
         e_max = col.shape[0]
         wid = jnp.arange(num_walkers, dtype=jnp.uint32)
 
@@ -120,10 +128,12 @@ def walk_partitioned(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
             c1 = jnp.full((num_walkers,), prng.step_round_counter(step),
                           jnp.uint32)
             bits, _ = prng.counter_bits(key, wid, c1)
-            local = jnp.clip(cur_all - lo, 0, shard_nodes - 1).astype(rp.dtype)
+            local = jnp.clip(cur_all - lo, 0, shard_nodes - 1).astype(
+                meta.dtype)
             owned = (cur_all >= lo) & (cur_all < lo + shard_nodes)
-            start = rp[local]
-            deg = rp[local + 1] - start
+            rows = meta[local]          # one (S, 2) row gather
+            start = rows[:, 0]
+            deg = rows[:, 1]
             off = prng.randint_from_bits(bits, jnp.maximum(deg, 1))
             idx = jnp.clip(start + off.astype(start.dtype), 0, e_max - 1)
             nxt = jnp.where(deg > 0, col[idx], cur_all)

@@ -1,0 +1,81 @@
+"""Checkpoint / resume for trainers and long walk-sampling jobs.
+
+The reference has no state to save (walks are ephemeral tensors —
+SURVEY.md §5); the framework's trainers do: embedding tables, optimizer
+state, the PRNG position (seed + epoch), and optionally the walker frontier
+for resumable pod-scale sampling runs.  Uses orbax-checkpoint when present,
+with a NumPy ``.npz`` fallback so checkpointing works in minimal
+environments.  Restores onto the current device/mesh layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import jax
+
+
+def _flatten(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    return leaves, treedef
+
+
+def save(path: str, state, step: int, metadata: dict | None = None) -> None:
+    """Save a pytree ``state`` at ``step``.  Atomic via rename."""
+    os.makedirs(path, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.join(path, f"step_{step}")
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(ckpt_dir), state, force=True)
+    except Exception:
+        leaves, _ = _flatten(state)
+        tmp = os.path.join(path, f".tmp_step_{step}.npz")
+        np.savez(tmp, *[np.asarray(leaf) for leaf in leaves])
+        os.replace(tmp, os.path.join(path, f"step_{step}.npz"))
+    meta = {"step": step, **(metadata or {})}
+    tmp = os.path.join(path, ".tmp_meta.json")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def latest_step(path: str) -> int | None:
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)["step"]
+
+
+def restore(path: str, example_state, step: int | None = None):
+    """Restore a pytree with the structure (and shardings) of
+    ``example_state``.  Returns (state, step) or (None, None) if absent."""
+    if step is None:
+        step = latest_step(path)
+    if step is None:
+        return None, None
+    npz = os.path.join(path, f"step_{step}.npz")
+    if os.path.exists(npz):
+        leaves, treedef = _flatten(example_state)
+        with np.load(npz) as data:
+            new_leaves = [data[k] for k in data.files]
+        if len(new_leaves) != len(leaves):
+            raise ValueError(
+                f"checkpoint has {len(new_leaves)} leaves, expected {len(leaves)}")
+        restored = jax.tree.unflatten(treedef, new_leaves)
+    else:
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = os.path.abspath(os.path.join(path, f"step_{step}"))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(ckpt_dir, item=example_state)
+    # Match the example's device/sharding layout (replicated or mesh-sharded).
+    restored = jax.tree.map(
+        lambda new, old: jax.device_put(
+            new, old.sharding) if hasattr(old, "sharding") else new,
+        restored, example_state)
+    return restored, step
