@@ -6,9 +6,8 @@ Why this shape (measured on TPU v5e, see BENCHLOG.md):
   as ONE packed row replaces the reference path's three scalar gathers per
   step (row_ptr[cur], row_ptr[cur+1], col_idx[idx]) — ~5x fewer
   gather-engine cycles per walk step;
-- ``lax.scan`` stacked outputs re-copy the whole output buffer every
-  iteration on this backend, so step loops are Python-unrolled (static
-  walk_length) and stacked once at the end;
+- step loops run under ``lax.scan`` with partial unroll (full Python
+  unrolling costs minutes of compile for zero run-time gain — BENCHLOG.md);
 - node2vec's ``is_neighbor`` test is a cuckoo-set query (graph/hashset.py):
   exactly two row gathers, degree-independent — replacing O(log deg)
   serialized binary-search gathers per rejection round.
@@ -38,13 +37,6 @@ from torch_random_walk_tpu.graph.csr import PackedLayout
 from torch_random_walk_tpu.graph.hashset import _hash_jnp
 from torch_random_walk_tpu.ops import common
 from torch_random_walk_tpu.utils import prng
-
-# Static number of unrolled rejection rounds before falling into the
-# all-walkers-resolved while_loop.  Acceptance per round is >=
-# min(1/p,1,1/q)/max(1/p,1,1/q); 2 unrolled rounds resolve the vast majority
-# of walkers for typical p/q without any loop-carried overhead.
-DEFAULT_UNROLL_ROUNDS = 2
-
 
 @dataclasses.dataclass(frozen=True)
 class FatMeta:
