@@ -1,0 +1,61 @@
+"""ShardedNode2Vec: fused dp x mp training step on a virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from torch_random_walk_tpu.graph.csr import CSRGraph
+from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
+from torch_random_walk_tpu.parallel.mesh import make_mesh
+from torch_random_walk_tpu.parallel.trainer import (
+    ShardedNode2Vec,
+    ShardedNode2VecConfig,
+)
+
+
+def toy_graph(n=96):
+    rng = np.random.default_rng(0)
+    src = np.concatenate([np.arange(n), rng.integers(0, n, 3 * n)])
+    dst = np.concatenate([(np.arange(n) + 1) % n, rng.integers(0, n, 3 * n)])
+    return CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
+
+
+def test_sharded_step_runs_and_learns():
+    mesh = make_mesh((4, 2), ("data", "model"))
+    g = toy_graph()
+    cfg = ShardedNode2VecConfig(dim=16, walk_length=8, window_size=3,
+                                learning_rate=5e-2)
+    trainer = ShardedNode2Vec(g, mesh, cfg)
+    params, opt_state = trainer.init()
+    # Embedding tables sharded on the feature axis over 'model'.
+    spec = params["in_emb"].sharding.spec
+    assert tuple(spec) == (None, "model")
+    targets = np.arange(64, dtype=np.int32) % g.num_nodes
+    losses = []
+    for epoch in range(8):
+        params, opt_state, loss = trainer.train_step(params, opt_state,
+                                                     targets, epoch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_matches_single_device_loss():
+    """First-step loss must equal the unsharded fused trainer's (same seeds,
+    same walk engine, SPMD is numerics-preserving for this graph size)."""
+    mesh = make_mesh((8,), ("data",))
+    g = toy_graph()
+    cfg_s = ShardedNode2VecConfig(dim=8, walk_length=6, window_size=3,
+                                  learning_rate=1e-2, seed=3)
+    trainer = ShardedNode2Vec(g, mesh, cfg_s)
+    p_s, o_s = trainer.init()
+    targets = np.arange(32, dtype=np.int32) % g.num_nodes
+    _, _, loss_sharded = trainer.train_step(p_s, o_s, targets, epoch=0)
+
+    n2v = Node2Vec(g, Node2VecConfig(dim=8, walk_length=6, window_size=3,
+                                     learning_rate=1e-2, seed=3))
+    p1, o1 = n2v.init()
+    _, _, loss_single = n2v.epoch_step(
+        p1, o1, jnp.asarray(targets), jnp.uint32(0))
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)

@@ -1,0 +1,82 @@
+"""Embedding quality evaluation: link prediction and node classification.
+
+Implements the downstream checks BASELINE.md's configs call for
+(link-prediction / classification parity on Cora/Citeseer-class graphs).
+Pure NumPy — evaluation is not a hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def link_prediction_auc(embeddings, pos_edges, neg_edges,
+                        score: str = "dot") -> float:
+    """AUC of edge scores: positive (real) edges vs negative (absent) pairs.
+
+    embeddings: (N, D); pos_edges/neg_edges: (K, 2) int arrays.
+    score: 'dot' | 'cosine' | 'hadamard-l2'.
+    """
+    emb = np.asarray(embeddings)
+    if score == "cosine":
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                               1e-12)
+
+    def s(edges):
+        e = np.asarray(edges)
+        a, b = emb[e[:, 0]], emb[e[:, 1]]
+        if score == "hadamard-l2":
+            return -np.linalg.norm(a - b, axis=1)
+        return np.sum(a * b, axis=1)
+
+    pos, neg = s(pos_edges), s(neg_edges)
+    # AUC = P(pos score > neg score) via rank statistic.
+    all_scores = np.concatenate([pos, neg])
+    ranks = all_scores.argsort().argsort()[: len(pos)] + 1
+    return float((ranks.sum() - len(pos) * (len(pos) + 1) / 2)
+                 / (len(pos) * len(neg)))
+
+
+def sample_negative_edges(num_nodes: int, pos_edges, k: int,
+                          seed: int = 0) -> np.ndarray:
+    """k (u, v) pairs not present in pos_edges (and u != v)."""
+    rng = np.random.default_rng(seed)
+    present = {(int(a), int(b)) for a, b in np.asarray(pos_edges)}
+    out = []
+    while len(out) < k:
+        u = int(rng.integers(0, num_nodes))
+        v = int(rng.integers(0, num_nodes))
+        if u != v and (u, v) not in present:
+            out.append((u, v))
+    return np.asarray(out, np.int64)
+
+
+def node_classification_accuracy(embeddings, labels, train_frac: float = 0.5,
+                                 seed: int = 0, l2: float = 1e-3,
+                                 iters: int = 200, lr: float = 0.5) -> float:
+    """Multinomial logistic regression on frozen embeddings (the standard
+    DeepWalk/node2vec evaluation protocol).  Returns test accuracy."""
+    rng = np.random.default_rng(seed)
+    emb = np.asarray(embeddings, np.float64)
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    y = np.asarray(labels)
+    n = emb.shape[0]
+    perm = rng.permutation(n)
+    n_train = int(train_frac * n)
+    tr, te = perm[:n_train], perm[n_train:]
+    classes = np.unique(y)
+    k = classes.shape[0]
+    y_idx = np.searchsorted(classes, y)
+    w = np.zeros((emb.shape[1], k))
+    b = np.zeros(k)
+    onehot = np.eye(k)[y_idx[tr]]
+    for _ in range(iters):
+        logits = emb[tr] @ w + b
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        g = (p - onehot) / len(tr)
+        w -= lr * (emb[tr].T @ g + l2 * w)
+        b -= lr * g.sum(axis=0)
+    pred = (emb[te] @ w + b).argmax(axis=1)
+    return float((pred == y_idx[te]).mean())

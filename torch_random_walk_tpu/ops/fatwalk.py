@@ -220,8 +220,24 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
     v_row, v_init, _ = draw(t_row0, wid_full, c1)
 
     level_caps = [] if small else _hier_schedule(p, q, num_walkers)
-    tail_capacity = min(2048, num_walkers)
+    # Tail capacity scales with B: a fixed small capacity turns the tail into
+    # many serialized while-iterations (each paying a full-B cumsum) once the
+    # unresolved count exceeds it.
+    tail_capacity = min(num_walkers, max(2048, num_walkers // 8))
     tail_rounds = 8 if not small else 1
+
+    # Speculative scanning path (see step_fn): viable when a frozen draw is
+    # unlikely to out-race a decided accept — the freeze-vs-accept ratio
+    # bounds the chance of >2 frozen candidates before the first sure accept
+    # (overflow = f^3, routed to the tail).
+    band = hi_acc - lo_acc
+    f_ratio = band / (band + lo_acc) if (band + lo_acc) > 0 else 1.0
+    spec = (not small) and f_ratio <= 0.5
+    spec_rounds = 6
+    spec_hash_cap = min(
+        num_walkers,
+        max(((int(1.25 * max(f_ratio, 0.15) * num_walkers) + 127)
+             // 128) * 128, 256))
 
     def hashed_rounds(step_u32, t_s, vrow_s, wid_s, rnd_s, l_res, l_sel,
                       rounds):
@@ -236,10 +252,96 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
             rnd_s = rnd_s + 1
         return l_res, l_sel, rnd_s
 
+    def spec_phase(step_u32, t, v_row, resolved0):
+        """Speculative scan: ``spec_rounds`` no-hash rounds classifying every
+        draw as sure-accept / sure-reject / frozen, tracking the first sure
+        accept and up to two frozen candidates in registers; then ONE
+        compacted hash pass resolves the frozen draws in round order.
+        Walkers whose outcome is still open enter the tail with the exact
+        round to replay from (redraws are deterministic, so exactness and
+        bit-identity hold).  Returns (resolved, sel_row, rnd)."""
+        has_a = resolved0          # dead ends count as already-accepted
+        a_row = v_row
+        n_f = jnp.zeros((num_walkers,), jnp.int32)
+        f1_row = v_row
+        f1_r = jnp.zeros((num_walkers,), jnp.float32)
+        f1_rnd = jnp.zeros((num_walkers,), jnp.uint32)
+        f2_row = v_row
+        f2_r = jnp.zeros((num_walkers,), jnp.float32)
+        overflow = jnp.zeros((num_walkers,), bool)
+        stop3_rnd = jnp.zeros((num_walkers,), jnp.uint32)
+        stopped = resolved0
+        for k in range(spec_rounds):
+            c1 = jnp.full((num_walkers,),
+                          prng.step_round_counter(step_u32, jnp.uint32(k)),
+                          jnp.uint32)
+            row, cand, r = draw(v_row, wid_full, c1)
+            is_t = cand == t
+            is_a = jnp.where(is_t, r < prob_0, r < lo_acc)
+            is_r = jnp.where(is_t, r >= prob_0, r >= hi_acc)
+            is_f = ~is_a & ~is_r
+            scan = ~stopped
+            new_f1 = scan & is_f & (n_f == 0)
+            new_f2 = scan & is_f & (n_f == 1)
+            new_f3 = scan & is_f & (n_f == 2)
+            f1_row = jnp.where(new_f1[:, None], row, f1_row)
+            f1_r = jnp.where(new_f1, r, f1_r)
+            f1_rnd = jnp.where(new_f1, jnp.uint32(k), f1_rnd)
+            f2_row = jnp.where(new_f2[:, None], row, f2_row)
+            f2_r = jnp.where(new_f2, r, f2_r)
+            n_f = n_f + (new_f1 | new_f2 | new_f3).astype(jnp.int32)
+            overflow = overflow | new_f3
+            stop3_rnd = jnp.where(new_f3, jnp.uint32(k), stop3_rnd)
+            new_a = scan & is_a
+            a_row = jnp.where(new_a[:, None], row, a_row)
+            has_a = has_a | new_a
+            stopped = stopped | new_a | new_f3
+
+        clean = has_a & (n_f == 0)
+        resolved = clean
+        sel_row = jnp.where(clean[:, None], a_row, v_row)
+        pending = ~clean & (n_f >= 1)
+        # Tail-entry round if never served below: replay from the first
+        # frozen draw; frozen-free no-accept walkers replay from spec_rounds.
+        rnd = jnp.where(clean, 0,
+                        jnp.where(pending, f1_rnd,
+                                  jnp.uint32(spec_rounds)))
+
+        # Compacted hash pass over pending walkers.
+        idx = _compact(pending, spec_hash_cap)
+        safe = jnp.minimum(idx, num_walkers - 1)
+        act = idx < num_walkers
+        t_s = t[safe]
+        c1s = unpack3(f1_row[safe])[0]
+        acc1 = jnp.where(contains(t_s, c1s), f1_r[safe] < prob_1,
+                         f1_r[safe] < prob_2)
+        c2s = unpack3(f2_row[safe])[0]
+        acc2 = (n_f[safe] >= 2) & jnp.where(contains(t_s, c2s),
+                                            f2_r[safe] < prob_1,
+                                            f2_r[safe] < prob_2)
+        l_sel = jnp.where(acc1[:, None], f1_row[safe],
+                          jnp.where(acc2[:, None], f2_row[safe],
+                                    a_row[safe]))
+        l_res = acc1 | acc2 | (~overflow[safe] & has_a[safe])
+        l_rnd = jnp.where(overflow[safe], stop3_rnd[safe],
+                          jnp.uint32(spec_rounds))
+        win = l_res & act
+        idx_w = jnp.where(win, idx, num_walkers)
+        sel_row = sel_row.at[idx_w].set(l_sel)
+        resolved = resolved.at[idx_w].set(True)
+        rnd = rnd.at[jnp.where(act, idx, num_walkers)].set(l_rnd)
+        # Winners' rnd was clobbered with a tail value; harmless (unused).
+        return resolved, sel_row, rnd
+
     def step_fn(carry, step_u32):
         t, v_row = carry
         v = unpack3(v_row)[0]
         v_deg = unpack3(v_row)[2]
+
+        if spec:
+            resolved, sel_row, rnd = spec_phase(step_u32, t, v_row,
+                                                v_deg == 0)
+            return _finish_step(step_u32, t, v, v_row, resolved, sel_row, rnd)
 
         # Dead ends resolve immediately to v (candidate == v every round and
         # some round always accepts; the value is v either way).
@@ -292,9 +394,13 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
             p_rnd = p_rnd.at[jnp.where(act, idx, parent_size)].set(cur_rnd)
             cur_res, cur_sel, cur_rnd = p_res, p_sel, p_rnd
         resolved, sel_row, rnd = cur_res, cur_sel, cur_rnd
+        return _finish_step(step_u32, t, v, v_row, resolved, sel_row, rnd)
 
-        # Flat while_loop tail: catches capacity overflow + extreme
-        # stragglers (full-B compaction per iteration, tiny capacity).
+    def _finish_step(step_u32, t, v, v_row, resolved, sel_row, rnd):
+        """Flat while_loop tail shared by both rejection paths: catches
+        capacity overflow + extreme stragglers (full-B compaction per
+        iteration, tiny capacity), then emits the step result."""
+
         def tail_level(state):
             res, sel, rn = state
             idx = _compact(~res, tail_capacity)

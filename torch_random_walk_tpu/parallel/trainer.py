@@ -62,7 +62,11 @@ class ShardedNode2Vec:
         c = config
         self._repl = NamedSharding(mesh, P())
         self._dp = NamedSharding(mesh, P(c.data_axis))
-        self._mp = NamedSharding(mesh, P(None, c.model_axis))
+        # Tables shard on the feature axis when the mesh has a model axis;
+        # on a pure-dp mesh they stay replicated.
+        mp_spec = (P(None, c.model_axis) if c.model_axis in mesh.axis_names
+                   else P())
+        self._mp = NamedSharding(mesh, mp_spec)
         # Graph structure replicated on every chip (the dp strategy; for
         # graphs beyond per-chip HBM use parallel.partition instead).
         self.row_ptr = jax.device_put(graph.row_ptr, self._repl)
