@@ -220,19 +220,17 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
     v_row, v_init, _ = draw(t_row0, wid_full, c1)
 
     level_caps = [] if small else _hier_schedule(p, q, num_walkers)
-    # Tail capacity scales with B: a fixed small capacity turns the tail into
-    # many serialized while-iterations (each paying a full-B cumsum) once the
-    # unresolved count exceeds it.
-    tail_capacity = min(num_walkers, max(2048, num_walkers // 8))
+    tail_capacity = min(2048, num_walkers)
     tail_rounds = 8 if not small else 1
 
-    # Speculative scanning path (see step_fn): viable when a frozen draw is
-    # unlikely to out-race a decided accept — the freeze-vs-accept ratio
-    # bounds the chance of >2 frozen candidates before the first sure accept
-    # (overflow = f^3, routed to the tail).
+    # Speculative scanning path (see step_fn): measured to win only when the
+    # frozen band is narrow enough that hash traffic nearly vanishes (e.g.
+    # q == 1 regimes, where band == 0 and NO draw ever needs the cuckoo set);
+    # at moderate bands (p=.5,q=2: f=0.5) the hierarchical path is faster on
+    # v5e — see BENCHLOG.md.
     band = hi_acc - lo_acc
     f_ratio = band / (band + lo_acc) if (band + lo_acc) > 0 else 1.0
-    spec = (not small) and f_ratio <= 0.5
+    spec = (not small) and f_ratio <= 0.25
     spec_rounds = 6
     spec_hash_cap = min(
         num_walkers,
