@@ -72,3 +72,26 @@ def test_partitioned_on_larger_graph():
     part = walk_partitioned(pg, targets, mesh, walk_length=10, seed=5)
     single = uniform_walk_csr(csr.row_ptr, csr.col_idx, targets, 10, 5)
     np.testing.assert_array_equal(np.asarray(part), np.asarray(single))
+
+
+def test_partitioned_node2vec_bitwise_matches_single_device():
+    from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
+    from torch_random_walk_tpu.parallel.partition import (
+        build_partition_hashes,
+        walk_partitioned_node2vec,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 64
+    src = np.concatenate([np.arange(n), rng.integers(0, n, 3 * n)])
+    dst = np.concatenate([(np.arange(n) + 1) % n, rng.integers(0, n, 3 * n)])
+    csr = trw.CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
+    mesh = make_mesh()
+    pg = PartitionedCSR.from_csr(csr, num_shards=8)
+    hashes = build_partition_hashes(pg, csr)
+    targets = jnp.arange(40, dtype=jnp.int32) % n
+    part = walk_partitioned_node2vec(pg, hashes, targets, mesh, p=0.5, q=2.0,
+                                     walk_length=9, seed=17)
+    single = node2vec_walk_csr(csr.row_ptr, csr.col_idx, targets, 0.5, 2.0, 9,
+                               seed=17, search_iters=csr.search_iters)
+    np.testing.assert_array_equal(np.asarray(part), np.asarray(single))

@@ -49,6 +49,19 @@ def _hash_np(lo, hi, salt: int, which: int, log_size: int):
     return (h >> np.uint32(32 - log_size)).astype(np.int64)
 
 
+def _hash_jnp_traced(lo, hi, salt_u32, which: int, log_size: int):
+    """Same hash as _hash_jnp with a *traced* uint32 salt (per-shard salts
+    inside shard_map differ per device and cannot be Python ints)."""
+    a, b = _H_CONSTS[which]
+    a = jnp.uint32(a) ^ salt_u32
+    b = jnp.uint32(b) ^ (salt_u32 * jnp.uint32(0x9E3779B9))
+    h = lo * a + hi * b + jnp.uint32(which + 1)
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(15))
+    return (h >> jnp.uint32(32 - log_size)).astype(jnp.int32)
+
+
 def _hash_jnp(lo, hi, salt: int, which: int, log_size: int):
     a, b = _H_CONSTS[which]
     a = jnp.uint32(a ^ salt)
@@ -70,10 +83,17 @@ class EdgeHashSet:
 
     @classmethod
     def from_edges(cls, src, dst, max_rounds: int = 256) -> "EdgeHashSet":
+        n = np.asarray(src).shape[0]
+        log_size = max(4, int(np.ceil(np.log2(max(4 * n, 16)))))
+        return cls.from_edges_with_log_size(src, dst, log_size, max_rounds)
+
+    @classmethod
+    def from_edges_with_log_size(cls, src, dst, log_size: int,
+                                 max_rounds: int = 256) -> "EdgeHashSet":
+        """Build with an explicit table size (e.g. shared across graph
+        partitions so shard_map sees one static shape)."""
         src = np.asarray(src, np.uint32)
         dst = np.asarray(dst, np.uint32)
-        n = src.shape[0]
-        log_size = max(4, int(np.ceil(np.log2(max(4 * n, 16)))))
         size = 1 << log_size
 
         # Native multi-threaded build when csrc/ is compiled (bit-compatible:

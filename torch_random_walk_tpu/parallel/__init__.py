@@ -2,7 +2,13 @@ from torch_random_walk_tpu.parallel.mesh import make_mesh, data_sharding
 from torch_random_walk_tpu.parallel.walk_dp import walk_data_parallel
 from torch_random_walk_tpu.parallel.partition import (
     PartitionedCSR,
+    build_partition_hashes,
     walk_partitioned,
+    walk_partitioned_node2vec,
+)
+from torch_random_walk_tpu.parallel.trainer import (
+    ShardedNode2Vec,
+    ShardedNode2VecConfig,
 )
 
 __all__ = [
@@ -10,5 +16,9 @@ __all__ = [
     "data_sharding",
     "walk_data_parallel",
     "PartitionedCSR",
+    "build_partition_hashes",
     "walk_partitioned",
+    "walk_partitioned_node2vec",
+    "ShardedNode2Vec",
+    "ShardedNode2VecConfig",
 ]
