@@ -1,0 +1,154 @@
+"""Command-line entry points: sampling, training, benchmarking.
+
+The library API stays pure functions with explicit arguments (matching the
+reference's design); configuration-as-flags lives only here (SURVEY.md §5
+config plan).  Graphs load from .npz edge files (arrays ``src``/``dst``) or
+synthetic generators.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_graph(spec: str):
+    """'path.npz' | 'synth:<nodes>:<avg_degree>[:seed]'"""
+    from torch_random_walk_tpu.graph.csr import CSRGraph
+
+    if spec.startswith("synth:"):
+        parts = spec.split(":")
+        n, deg = int(parts[1]), int(parts[2])
+        seed = int(parts[3]) if len(parts) > 3 else 0
+        rng = np.random.default_rng(seed)
+        e = n * deg
+        src = np.concatenate([np.arange(n), rng.integers(0, n, e)])
+        dst = np.concatenate([(np.arange(n) + 1) % n, rng.integers(0, n, e)])
+        return CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
+    with np.load(spec) as data:
+        return CSRGraph.from_edges(data["src"], data["dst"])
+
+
+def walk_main(argv=None):
+    """Sample walks and save them to .npy."""
+    ap = argparse.ArgumentParser(prog="trw-walk")
+    ap.add_argument("graph", help=".npz with src/dst arrays, or synth:N:deg")
+    ap.add_argument("-o", "--out", default="walks.npy")
+    ap.add_argument("--walkers", type=int, default=0, help="0 = one per node")
+    ap.add_argument("--walk-length", type=int, default=80)
+    ap.add_argument("-p", type=float, default=1.0)
+    ap.add_argument("-q", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    from torch_random_walk_tpu.ops.walk import walk
+    from torch_random_walk_tpu.utils.logging import get_logger
+
+    log = get_logger("trw-walk")
+    g = _load_graph(args.graph)
+    b = args.walkers or g.num_nodes
+    targets = jnp.arange(b, dtype=jnp.int32) % g.num_nodes
+    t0 = time.perf_counter()
+    walks = walk(g, target_nodes=targets, p=args.p, q=args.q,
+                 walk_length=args.walk_length, seed=args.seed)
+    out = np.asarray(walks)
+    dt = time.perf_counter() - t0
+    np.save(args.out, out)
+    log.info("sampled %s walks of length %d in %.2fs (%.1fM node-steps/s) "
+             "-> %s", out.shape[0], args.walk_length, dt,
+             out.shape[0] * args.walk_length / dt / 1e6, args.out)
+
+
+def train_main(argv=None):
+    """Train node2vec embeddings end-to-end; save embeddings to .npy."""
+    ap = argparse.ArgumentParser(prog="trw-train")
+    ap.add_argument("graph", help=".npz with src/dst arrays, or synth:N:deg")
+    ap.add_argument("-o", "--out", default="embeddings.npy")
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--walk-length", type=int, default=40)
+    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("-p", type=float, default=1.0)
+    ap.add_argument("-q", type=float, default=1.0)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default="")
+    ap.add_argument("--metrics", default="", help="JSONL metrics path")
+    args = ap.parse_args(argv)
+
+    from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
+    from torch_random_walk_tpu.utils import checkpoint
+    from torch_random_walk_tpu.utils.logging import MetricsWriter, get_logger
+
+    log = get_logger("trw-train")
+    g = _load_graph(args.graph)
+    cfg = Node2VecConfig(dim=args.dim, walk_length=args.walk_length,
+                         window_size=args.window, p=args.p, q=args.q,
+                         learning_rate=args.lr, seed=args.seed)
+    n2v = Node2Vec(g, cfg)
+    params, opt_state = n2v.init()
+    start_epoch = 0
+    if args.checkpoint_dir:
+        restored, step = checkpoint.restore(
+            args.checkpoint_dir, {"params": params, "opt": opt_state})
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt"]
+            start_epoch = step
+            log.info("resumed from epoch %d", start_epoch)
+    metrics = MetricsWriter(args.metrics or None)
+    import jax.numpy as jnp
+
+    targets = jnp.arange(g.num_nodes, dtype=jnp.int32)
+    for epoch in range(start_epoch, args.epochs):
+        params, opt_state, loss = n2v.epoch_step(
+            params, opt_state, targets, jnp.uint32(epoch))
+        metrics.emit(epoch=epoch, loss=float(loss))
+        if epoch % 10 == 0:
+            log.info("epoch %d loss %.4f", epoch, float(loss))
+        if args.checkpoint_dir and (epoch + 1) % 25 == 0:
+            checkpoint.save(args.checkpoint_dir,
+                            {"params": params, "opt": opt_state}, epoch + 1)
+    emb = np.asarray(n2v.embeddings(params))
+    np.save(args.out, emb)
+    metrics.close()
+    log.info("saved %s embeddings -> %s", emb.shape, args.out)
+
+
+def bench_main(argv=None):
+    """Delegates to the repo-root bench harness semantics."""
+    ap = argparse.ArgumentParser(prog="trw-bench")
+    ap.add_argument("--nodes", type=int, default=100_000)
+    ap.add_argument("--degree", type=int, default=16)
+    ap.add_argument("--walkers", type=int, default=16_384)
+    ap.add_argument("--walk-length", type=int, default=80)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from torch_random_walk_tpu.ops.walk import walk
+    from torch_random_walk_tpu.utils.profiling import StepTimer
+
+    g = _load_graph(f"synth:{args.nodes}:{args.degree}")
+    targets = jnp.arange(args.walkers, dtype=jnp.int32) % g.num_nodes
+    timer = StepTimer()
+    results = {}
+    for name, (p, q) in [("uniform", (1.0, 1.0)), ("node2vec", (0.5, 2.0))]:
+        dt = timer.time(lambda t: walk(g, target_nodes=t, p=p, q=q,
+                                       walk_length=args.walk_length, seed=7),
+                        targets, warmup=1, iters=3)
+        results[f"{name}_steps_per_sec"] = round(
+            args.walkers * args.walk_length / dt, 1)
+    results["platform"] = jax.devices()[0].platform
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    {"walk": walk_main, "train": train_main, "bench": bench_main}[cmd](
+        sys.argv[2:])
