@@ -92,3 +92,21 @@ def test_edge_list_graph_container():
         np.asarray(elg.node_edge_index),
         [[0, 1], [2, 3], [-1, -1], [4, 4], [5, 6]],
     )
+
+
+class TestDatasets:
+    def test_npz_roundtrip(self, tmp_path):
+        from torch_random_walk_tpu.graph import datasets
+        p = str(tmp_path / "g.npz")
+        datasets.save_npz(p, [0, 1, 2], [1, 2, 0], num_nodes=4)
+        g = datasets.load_npz(p)
+        assert (g.num_nodes, g.num_edges) == (4, 3)
+
+    def test_synthetic_power_law(self):
+        from torch_random_walk_tpu.graph import datasets
+        g = datasets.synthetic_power_law(1000, 8, seed=0)
+        assert g.num_nodes == 1000
+        assert g.num_edges == 1000 * 8 + 2000
+        # every node has out-degree >= 1 (ring edges)
+        import numpy as np
+        assert (np.diff(np.asarray(g.row_ptr)) >= 1).all()

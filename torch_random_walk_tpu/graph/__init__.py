@@ -8,7 +8,7 @@ from torch_random_walk_tpu.graph.triples import (
     TriplesGraph,
     build_relation_tail_index,
 )
-from torch_random_walk_tpu.graph import oracle
+from torch_random_walk_tpu.graph import datasets, oracle
 
 __all__ = [
     "CSRGraph",
@@ -19,5 +19,6 @@ __all__ = [
     "to_edge_list_indexed",
     "build_node_edge_index",
     "build_relation_tail_index",
+    "datasets",
     "oracle",
 ]
