@@ -24,56 +24,19 @@ import numpy as np
 def build_graph(num_nodes: int, avg_degree: int, seed: int = 0):
     """Synthetic graph with a power-law-ish degree skew (hub nodes stress the
     gather path the way ogbn graphs do)."""
-    from torch_random_walk_tpu.graph.csr import CSRGraph
+    from torch_random_walk_tpu.graph.datasets import synthetic_power_law
 
-    rng = np.random.default_rng(seed)
-    num_edges = num_nodes * avg_degree
-    # Preferential-attachment-flavoured tails: mix uniform with squared-uniform
-    # (density ~ 1/sqrt(x) -> heavy head).
-    u = rng.random(num_edges)
-    dst = (u * u * num_nodes).astype(np.int64)
-    src = rng.integers(0, num_nodes, num_edges)
-    # Ring edges guarantee degree >= 2 everywhere.
-    ring_src = np.arange(num_nodes, dtype=np.int64)
-    ring_dst = (ring_src + 1) % num_nodes
-    src = np.concatenate([src, ring_src, ring_dst])
-    dst = np.concatenate([dst, ring_dst, ring_src])
-    return CSRGraph.from_edges(src, dst, num_nodes=num_nodes)
-
-
-def _sync(out):
-    """Force a (scalar) host readback: on remote-tunnel backends
-    block_until_ready can return without surfacing async device faults, and
-    reading a large array back would charge tunnel bandwidth to the kernel —
-    so benched fns must reduce to scalars on device (see _checksummed)."""
-    leaf = [x for x in __import__("jax").tree.leaves(out)
-            if hasattr(x, "ravel")][0]
-    return np.asarray(leaf).ravel()[-1]
-
-
-def _checksummed(fn):
-    """Wrap fn so only a device-side checksum leaves the chip."""
-    import jax.numpy as jnp
-
-    def wrapped(*args):
-        out = fn(*args)
-        leaves = [x for x in __import__("jax").tree.leaves(out)
-                  if hasattr(x, "ravel")]
-        return sum(jnp.sum(x) for x in leaves)
-
-    return wrapped
+    return synthetic_power_law(num_nodes, avg_degree, seed)
 
 
 def time_fn(fn, *args, warmup=2, iters=5):
-    fn = _checksummed(fn)
-    for _ in range(warmup):
-        _sync(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    """Measurement per utils/profiling.py's rules: only a device-side scalar
+    checksum ever leaves the chip (remote-tunnel backends swallow async
+    faults under block_until_ready and charge readback bandwidth to the
+    kernel otherwise)."""
+    from torch_random_walk_tpu.utils.profiling import StepTimer
+
+    return StepTimer().time(fn, *args, warmup=warmup, iters=iters)
 
 
 def main():

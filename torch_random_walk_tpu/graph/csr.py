@@ -36,7 +36,10 @@ class PackedLayout:
 
     @property
     def fits(self) -> bool:
-        return self.node_bits + self.start_bits + self.deg_bits <= 64
+        # Total must pack into 64 bits AND every field must survive the
+        # int32 cast in unpack (field values < 2^31).
+        return (self.node_bits + self.start_bits + self.deg_bits <= 64
+                and max(self.node_bits, self.start_bits, self.deg_bits) <= 31)
 
     def pack_np(self, node, start, deg) -> np.ndarray:
         """(k,) int arrays -> (k, 2) uint32 packed rows (host-side)."""
@@ -99,7 +102,8 @@ class CSRGraph:
     num_nodes: int
     num_edges: int
     max_degree: int
-    # Fat-table hot path (None when packing exceeds 64 bits, e.g. >2^31 edges;
+    # Fat-table hot path (None when the packed fields exceed 64 bits total
+    # or any single field exceeds 31 bits, e.g. >= 2^31 edges;
     # kernels then fall back to the scalar-gather path).
     layout: PackedLayout | None = None
     edge_tab: jnp.ndarray | None = None  # (E, 2) uint32

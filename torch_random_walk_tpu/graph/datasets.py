@@ -38,7 +38,13 @@ def load_ogbn(name: str, root: str = "dataset", symmetrize: bool = True):
     cache = os.path.join(root, f"{name.replace('-', '_')}_edges.npz")
     labels_cache = os.path.join(root, f"{name.replace('-', '_')}_labels.npy")
     if os.path.exists(cache):
-        g = load_npz(cache)
+        # The cache stores the RAW directed edge list; symmetrize applies on
+        # every load so cached and fresh paths build the same graph.
+        with np.load(cache) as data:
+            g = CSRGraph.from_edges(
+                data["src"], data["dst"],
+                num_nodes=int(data["num_nodes"]) if "num_nodes" in data else None,
+                symmetrize=symmetrize)
         labels = (np.load(labels_cache)
                   if os.path.exists(labels_cache) else None)
         return g, labels

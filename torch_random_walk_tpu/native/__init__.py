@@ -46,13 +46,20 @@ def available() -> bool:
 
 
 def build_csr(src, dst, num_nodes: int):
-    """(src, dst) int64 edge arrays -> (row_ptr int64, col_idx int32),
-    sorted by (src, dst).  Native parallel radix sort when available."""
+    """(src, dst) int64 edge arrays -> (row_ptr int64, col_idx int32 or
+    int64), sorted by (src, dst).  Native parallel radix sort when available
+    and ids fit 32 bits; ids >= 2^31 take a NumPy int64 path."""
     src = np.ascontiguousarray(src, np.int64)
     dst = np.ascontiguousarray(dst, np.int64)
     e = src.shape[0]
+    if e and (src.min() < 0 or dst.min() < 0 or src.max() >= num_nodes
+              or dst.max() >= num_nodes):
+        raise ValueError(
+            f"edge ids out of range [0, {num_nodes}): "
+            f"src in [{src.min()}, {src.max()}], "
+            f"dst in [{dst.min()}, {dst.max()}]")
     lib = _load()
-    if lib:
+    if lib and num_nodes < 2**31:
         row_ptr = np.empty(num_nodes + 1, np.int64)
         col_idx = np.empty(e, np.int32)
         rc = lib.rw_build_csr(src, dst, e, num_nodes, row_ptr, col_idx)
@@ -63,7 +70,7 @@ def build_csr(src, dst, num_nodes: int):
     counts = np.bincount(src, minlength=num_nodes)
     row_ptr = np.zeros(num_nodes + 1, np.int64)
     np.cumsum(counts, out=row_ptr[1:])
-    return row_ptr, sdst.astype(np.int32)
+    return row_ptr, (sdst.astype(np.int32) if num_nodes < 2**31 else sdst)
 
 
 def pack_fat(row_ptr, col_idx, node_bits: int, start_bits: int):

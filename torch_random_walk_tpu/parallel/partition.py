@@ -180,7 +180,8 @@ def build_partition_hashes(pgraph: PartitionedCSR, graph: CSRGraph):
     per_shard = []
     max_log = 4
     for d in range(pgraph.num_shards):
-        lo, hi = d * s, min((d + 1) * s, n)
+        # Clamp like PartitionedCSR.from_csr: trailing shards may be empty.
+        lo, hi = min(d * s, n), min((d + 1) * s, n)
         heads = np.repeat(np.arange(lo, hi), np.diff(row_ptr[lo:hi + 1]))
         tails = col_idx[row_ptr[lo]:row_ptr[hi]]
         e = max(heads.shape[0], 1)
