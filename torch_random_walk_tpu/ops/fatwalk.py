@@ -126,14 +126,16 @@ def _compact(mask, capacity: int):
 
 
 
-def _hier_schedule(p: float, q: float, num_walkers: int):
+def _hier_schedule(p: float, q: float, num_walkers: int,
+                   rounds_per_level: int = 2, slack: float = 1.15,
+                   max_levels: int = 6):
     """Static hierarchical-compaction schedule for the biased rejection loop.
 
-    Returns a list of level capacities [C1 > C2 > ...]; each level runs 2
-    hashed rounds on a sub-batch compacted *within its parent level* (so only
-    the first compaction and the final scatter touch full-B arrays).  Sized
-    from the no-hash decided-accept floor ``lo_acc`` with 1.3x slack;
-    capacity overflow walkers are caught by the while_loop tail.
+    Returns [(capacity, rounds), ...]; each level runs ``rounds`` hashed
+    rounds on a sub-batch compacted *within its parent level* (so only the
+    first compaction and the final scatter touch full-B arrays).  Sized from
+    the no-hash decided-accept floor ``lo_acc``; capacity overflow walkers
+    are caught by the while_loop tail.
     """
     prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
     lo_acc = min(prob_1, prob_2)
@@ -141,15 +143,15 @@ def _hier_schedule(p: float, q: float, num_walkers: int):
     caps = []
     residual = (1.0 - a) ** 2  # after the two no-hash full rounds
     cap_prev = num_walkers
-    for _ in range(6):
-        cap = int(min(1.15 * residual * num_walkers, num_walkers))
+    for _ in range(max_levels):
+        cap = int(min(slack * residual * num_walkers, num_walkers))
         cap = max((cap + 127) // 128 * 128, 256)
         cap = min(cap, cap_prev)
         if cap <= 512:
             break
-        caps.append(cap)
+        caps.append((cap, rounds_per_level))
         cap_prev = cap
-        residual *= (1.0 - a) ** 2  # two hashed rounds per level
+        residual *= (1.0 - a) ** rounds_per_level
     return caps
 
 
@@ -372,7 +374,7 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
         cur_t, cur_vrow, cur_wid = t, v_row, wid_full
         cur_res, cur_sel, cur_rnd = resolved, sel_row, rnd
         cur_size = num_walkers
-        for cap in level_caps:
+        for cap, lvl_rounds in level_caps:
             idx = _compact(~cur_res, cap)
             safe = jnp.minimum(idx, cur_size - 1)
             act = idx < cur_size
@@ -382,7 +384,7 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
             cur_wid = cur_wid[safe]
             cur_res, cur_sel, cur_rnd = hashed_rounds(
                 step_u32, cur_t, cur_vrow, cur_wid, cur_rnd[safe], ~act,
-                cur_vrow, 2)
+                cur_vrow, lvl_rounds)
             cur_size = cap
         for idx, act, parent_size, p_res, p_sel, p_rnd in reversed(stack):
             win = cur_res & act

@@ -30,6 +30,24 @@ def make_mesh(shape=None, axis_names=("data",), devices=None) -> Mesh:
                          axis_types=axis_types)
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bootstrap (SURVEY.md §2.8: the TPU-native replacement for
+    the reference's absent NCCL/MPI layer).  On TPU pods with default env
+    configuration all arguments auto-detect; call before building a mesh.
+    No-op if the distributed runtime is already initialized."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as err:
+        if "already" not in str(err).lower():
+            raise
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (walker/batch) dimension along ``axis``."""
     return NamedSharding(mesh, P(axis))

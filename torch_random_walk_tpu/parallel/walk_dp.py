@@ -6,6 +6,9 @@ sharded run produces bit-identical walks to the single-device run — XLA SPMD
 partitions the per-walker gathers and no walker exchange is needed (each
 device holds the whole graph).  Use this while the graph fits per-device HBM;
 use parallel.partition for edge-partitioned graphs beyond that.
+
+Routes through the fat-table engine (ops/fatwalk.py) when the graph carries
+fat tables — the same hot path as single-chip walks.
 """
 
 from __future__ import annotations
@@ -16,6 +19,8 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from torch_random_walk_tpu.graph.csr import CSRGraph
+from torch_random_walk_tpu.ops import fatwalk
+from torch_random_walk_tpu.ops.fatwalk import FatMeta
 from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
 from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
 
@@ -26,10 +31,35 @@ def walk_data_parallel(graph: CSRGraph, target_nodes, mesh, p=1.0, q=1.0,
     the same sharding (leading dim over ``axis``)."""
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    row_ptr = jax.device_put(graph.row_ptr, repl)
-    col_idx = jax.device_put(graph.col_idx, repl)
     targets = jax.device_put(target_nodes, shard)
 
+    if graph.edge_tab is not None:
+        meta = FatMeta.of(graph)
+        edge_tab = jax.device_put(graph.edge_tab, repl)
+        node_tab = jax.device_put(graph.node_tab, repl)
+        if p == 1.0 and q == 1.0:
+            fn = jax.jit(
+                partial(fatwalk.uniform_walk_fat, meta=meta,
+                        walk_length=walk_length, seed=seed),
+                in_shardings=(repl, repl, shard),
+                out_shardings=shard,
+            )
+            return fn(edge_tab, node_tab, targets)
+        from torch_random_walk_tpu.ops.walk import edge_set_for
+
+        es = edge_set_for(graph)
+        hash_table = jax.device_put(es.table, repl)
+        fn = jax.jit(
+            partial(fatwalk.node2vec_walk_fat, meta=meta,
+                    hash_log_size=es.log_size, hash_salt=es.salt, p=p, q=q,
+                    walk_length=walk_length, seed=seed),
+            in_shardings=(repl, repl, repl, shard),
+            out_shardings=shard,
+        )
+        return fn(edge_tab, node_tab, hash_table, targets)
+
+    row_ptr = jax.device_put(graph.row_ptr, repl)
+    col_idx = jax.device_put(graph.col_idx, repl)
     if p == 1.0 and q == 1.0:
         fn = jax.jit(
             partial(uniform_walk_csr, walk_length=walk_length, seed=seed),
