@@ -206,3 +206,48 @@ class TestEdgeListTriplesFat:
                                   walk_length=8, seed=2, padding_idx=-1)
         np.testing.assert_array_equal(np.asarray(via_graph),
                                       np.asarray(via_arrays))
+
+    @pytest.mark.parametrize("restart", [True, False])
+    @pytest.mark.parametrize("p,q", [(0.5, 2.0), (1.0, 4.0)])
+    def test_edge_list_biased_bit_identical(self, restart, p, q):
+        from torch_random_walk_tpu.ops.edge_list_walk import (
+            biased_walk_edge_list)
+        from torch_random_walk_tpu.ops.walk import _edge_set_for_edge_list
+        g = self._edge_graph(15)
+        targets = jnp.arange(96, dtype=jnp.int32) % g.num_nodes
+        ref = biased_walk_edge_list(g.edge_list, g.node_edge_index, targets,
+                                    p, q, 14, 6, -1, restart,
+                                    search_iters=g.search_iters)
+        es = _edge_set_for_edge_list(g)
+        fat = fatwalk.node2vec_walk_edge_list_fat(
+            g.edge_tab, g.node_tab, es.table, targets, FatMeta.of(g),
+            es.log_size, es.salt, p, q, 14, 6, -1, restart)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    def test_edge_list_biased_large_batch(self):
+        from torch_random_walk_tpu.ops.edge_list_walk import (
+            biased_walk_edge_list)
+        from torch_random_walk_tpu.ops.walk import _edge_set_for_edge_list
+        g = self._edge_graph(16)
+        targets = jnp.arange(8192, dtype=jnp.int32) % g.num_nodes
+        ref = biased_walk_edge_list(g.edge_list, g.node_edge_index, targets,
+                                    0.5, 2.0, 10, 3, -1, True,
+                                    search_iters=g.search_iters)
+        es = _edge_set_for_edge_list(g)
+        fat = fatwalk.node2vec_walk_edge_list_fat(
+            g.edge_tab, g.node_tab, es.table, targets, FatMeta.of(g),
+            es.log_size, es.salt, 0.5, 2.0, 10, 3, -1, True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    def test_edge_list_biased_public_routing(self):
+        from torch_random_walk_tpu.ops.walk import walk_edge_list
+        g = self._edge_graph(17)
+        targets = jnp.arange(64, dtype=jnp.int32) % g.num_nodes
+        via_graph = walk_edge_list(g, target_nodes=targets, p=0.5, q=2.0,
+                                   walk_length=8, seed=4, padding_idx=-1,
+                                   restart=True)
+        via_arrays = walk_edge_list(g.edge_list, g.node_edge_index, targets,
+                                    p=0.5, q=2.0, walk_length=8, seed=4,
+                                    padding_idx=-1, restart=True)
+        np.testing.assert_array_equal(np.asarray(via_graph),
+                                      np.asarray(via_arrays))

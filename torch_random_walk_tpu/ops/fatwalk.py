@@ -525,3 +525,151 @@ def uniform_walk_triples_fat(triple_tab, node_meta, target_nodes, walk_length,
         walks = walks.at[:, 1::2].set(rels.T)
         walks = walks.at[:, 2::2].set(tails.T)
     return walks
+
+
+def node2vec_walk_edge_list_fat(edge_tab, node_tab, hash_table, target_nodes,
+                                meta, hash_log_size, hash_salt, p, q,
+                                walk_length, seed, padding_idx, restart,
+                                walker_offset=0,
+                                max_rounds=common.DEFAULT_MAX_ROUNDS,
+                                unroll=4):
+    """Biased edge-list walks (padding/restart semantics), fat tables +
+    cuckoo membership.  Bit-identical to
+    ops.edge_list_walk.biased_walk_edge_list (same counters, same acceptance:
+    candidate == t or == padding gates on prob_0; distance-1 on prob_1; else
+    prob_2; an accepted padding candidate moves to the jump node —
+    rw_cpu_edge_list.cpp:195-232 semantics).
+
+    Structure: two full-batch hashed rounds, then a compacted while_loop
+    tail (the straggler pattern of node2vec_walk_fat without the band/level
+    machinery — edge-list graphs in the wild are small enough that the
+    simpler shape measures fine).
+    """
+    num_walkers = target_nodes.shape[0]
+    key = prng.derive_key(seed, prng.STREAM_EDGE_BIASED)
+    prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
+    pad = jnp.int32(padding_idx)
+    sentinel = num_walkers
+    tail_capacity = min(2048, num_walkers)
+    tail_rounds = 8 if num_walkers >= 4096 else 1
+    wid_full = common.walker_ids(num_walkers, walker_offset)
+
+    cur0 = target_nodes.astype(jnp.int32)
+    safe0 = jnp.clip(cur0, 0, meta.num_nodes - 1)
+    _, start0, cnt0 = meta.layout.unpack(node_tab[safe0])
+    if restart:
+        jump, jump_start, jump_cnt = cur0, start0, cnt0
+    else:
+        jump = jnp.full_like(cur0, pad)
+        jump_start = jnp.zeros_like(start0)
+        jump_cnt = jnp.zeros_like(cnt0)
+
+    def contains(u, v):
+        return _edge_set_contains(hash_table, hash_log_size, hash_salt, u, v)
+
+    def draw(cur, start, cnt, j, j_start, j_cnt, wid_u32, c1):
+        """Candidate + its meta, mirroring common.sample_edge_neighbor."""
+        b_cand, b_acc = prng.counter_bits(key, wid_u32, c1)
+        off = prng.randint_from_bits(b_cand, jnp.maximum(cnt, 1))
+        e = jnp.clip(start + off, 0, max(meta.num_edges - 1, 0))
+        tail, t_start, t_cnt = meta.layout.unpack(edge_tab[e])
+        at_pad = cur == pad
+        has = cnt > 0
+        cand = jnp.where(at_pad, j, jnp.where(has, tail, pad))
+        c_start = jnp.where(at_pad, j_start, jnp.where(has, t_start, 0))
+        c_cnt = jnp.where(at_pad, j_cnt, jnp.where(has, t_cnt, 0))
+        return cand, c_start, c_cnt, prng.uniform_from_bits(b_acc)
+
+    def round_eval(t_s, cand, c_start, c_cnt, r, j, j_start, j_cnt):
+        """Acceptance + the value/meta an accepting walker moves to."""
+        is_t = cand == t_s
+        is_pad = cand == pad
+        nbr = contains(t_s, cand)
+        accept = jnp.where(is_t | is_pad, r < prob_0,
+                           jnp.where(nbr, r < prob_1, r < prob_2))
+        move_jump = is_pad & ~is_t
+        value = jnp.where(move_jump, j, cand)
+        v_start = jnp.where(move_jump, j_start, c_start)
+        v_cnt = jnp.where(move_jump, j_cnt, c_cnt)
+        return accept, value, v_start, v_cnt
+
+    # First hop: plain uniform edge-list step (biased stream, step 1).
+    c1 = jnp.full((num_walkers,), prng.step_round_counter(1), jnp.uint32)
+    b_first, _ = prng.counter_bits(key, wid_full, c1)
+    off = prng.randint_from_bits(b_first, jnp.maximum(cnt0, 1))
+    e = jnp.clip(start0 + off, 0, max(meta.num_edges - 1, 0))
+    tail0, ts0, tc0 = meta.layout.unpack(edge_tab[e])
+    at_pad0 = cur0 == pad
+    has0 = cnt0 > 0
+    v = jnp.where(at_pad0, jump, jnp.where(has0, tail0, pad))
+    v_start = jnp.where(at_pad0, jump_start, jnp.where(has0, ts0, 0))
+    v_cnt = jnp.where(at_pad0, jump_cnt, jnp.where(has0, tc0, 0))
+
+    def step_fn(carry, step_u32):
+        t, v, v_start, v_cnt = carry
+        resolved = jnp.zeros((num_walkers,), bool)
+        sel, sel_start, sel_cnt = v, v_start, v_cnt
+        rnd = jnp.zeros((num_walkers,), jnp.uint32)
+
+        for _ in range(2):
+            c1 = prng.step_round_counter(step_u32, rnd)
+            cand, c_start, c_cnt, r = draw(v, v_start, v_cnt, jump,
+                                           jump_start, jump_cnt, wid_full, c1)
+            accept, value, val_start, val_cnt = round_eval(
+                t, cand, c_start, c_cnt, r, jump, jump_start, jump_cnt)
+            take = ~resolved & accept
+            sel = jnp.where(take, value, sel)
+            sel_start = jnp.where(take, val_start, sel_start)
+            sel_cnt = jnp.where(take, val_cnt, sel_cnt)
+            resolved = resolved | take
+            rnd = rnd + 1
+
+        def tail_level(state):
+            res, sel, sel_start, sel_cnt, rn = state
+            idx = _compact(~res, tail_capacity)
+            safe = jnp.minimum(idx, sentinel - 1)
+            act = idx < sentinel
+            t_s = t[safe]
+            v_s, vs_s, vc_s = v[safe], v_start[safe], v_cnt[safe]
+            j_s, js_s, jc_s = jump[safe], jump_start[safe], jump_cnt[safe]
+            wid_s = safe.astype(jnp.uint32) + jnp.uint32(walker_offset)
+            rnd_s = rn[safe]
+            l_res = ~act
+            l_sel, l_ss, l_sc = v_s, vs_s, vc_s
+            for k in range(tail_rounds):
+                c1 = prng.step_round_counter(step_u32,
+                                             rnd_s + jnp.uint32(k))
+                cand, c_start, c_cnt, r = draw(v_s, vs_s, vc_s, j_s, js_s,
+                                               jc_s, wid_s, c1)
+                accept, value, val_start, val_cnt = round_eval(
+                    t_s, cand, c_start, c_cnt, r, j_s, js_s, jc_s)
+                take = ~l_res & accept
+                l_sel = jnp.where(take, value, l_sel)
+                l_ss = jnp.where(take, val_start, l_ss)
+                l_sc = jnp.where(take, val_cnt, l_sc)
+                l_res = l_res | accept
+            win = l_res & act
+            idx_w = jnp.where(win, idx, sentinel)
+            sel = sel.at[idx_w].set(l_sel)
+            sel_start = sel_start.at[idx_w].set(l_ss)
+            sel_cnt = sel_cnt.at[idx_w].set(l_sc)
+            res = res.at[idx_w].set(True)
+            rn = rn.at[jnp.where(act, idx, sentinel)].add(
+                jnp.uint32(tail_rounds))
+            return res, sel, sel_start, sel_cnt, rn
+
+        def cond(state):
+            res, _, _, _, rn = state
+            return jnp.logical_and(~jnp.all(res),
+                                   rn.max() < jnp.uint32(max_rounds))
+
+        _, sel, sel_start, sel_cnt, _ = lax.while_loop(
+            cond, tail_level, (resolved, sel, sel_start, sel_cnt, rnd))
+        return (v, sel, sel_start, sel_cnt), sel
+
+    if walk_length < 2:
+        return jnp.concatenate([cur0[:, None], v[:, None]], axis=1)
+    steps = jnp.arange(2, walk_length + 1, dtype=jnp.uint32)
+    _, seq = lax.scan(step_fn, (cur0, v, v_start, v_cnt), steps,
+                      unroll=min(unroll, walk_length - 1))
+    return jnp.concatenate([cur0[:, None], v[:, None], seq.T], axis=1)

@@ -128,6 +128,28 @@ def _uniform_edge_fat(edge_tab, node_tab, target_nodes, meta, walk_length,
                                               seed, padding_idx, restart)
 
 
+@partial(jax.jit, static_argnames=("meta", "hash_log_size", "hash_salt", "p",
+                                   "q", "walk_length", "padding_idx",
+                                   "restart"))
+def _biased_edge_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
+                     hash_log_size, hash_salt, p, q, walk_length, seed,
+                     padding_idx, restart):
+    return fatwalk.node2vec_walk_edge_list_fat(
+        edge_tab, node_tab, hash_table, target_nodes, meta, hash_log_size,
+        hash_salt, p, q, walk_length, seed, padding_idx, restart)
+
+
+def _edge_set_for_edge_list(g: EdgeListGraph) -> EdgeHashSet:
+    key = id(g)
+    es = _EDGE_SET_CACHE.get(key)
+    if es is None:
+        edges = np.asarray(g.edge_list)
+        es = EdgeHashSet.from_edges(edges[:, 0], edges[:, 1])
+        _EDGE_SET_CACHE[key] = es
+        weakref.finalize(g, _EDGE_SET_CACHE.pop, key, None)
+    return es
+
+
 def walk_edge_list(edge_list_indexed, node_edge_index=None, target_nodes=None,
                    p=1.0, q=1.0, walk_length=10, seed=0, padding_idx=-1,
                    restart=True):
@@ -136,11 +158,18 @@ def walk_edge_list(edge_list_indexed, node_edge_index=None, target_nodes=None,
     form routes uniform walks to the fat-table engine."""
     if isinstance(edge_list_indexed, EdgeListGraph):
         g = edge_list_indexed
-        if g.edge_tab is not None and p == 1.0 and q == 1.0:
+        if g.edge_tab is not None:
             meta = FatMeta.of(g)
-            return _uniform_edge_fat(g.edge_tab, g.node_tab, target_nodes,
-                                     meta, int(walk_length), int(seed),
-                                     int(padding_idx), bool(restart))
+            if p == 1.0 and q == 1.0:
+                return _uniform_edge_fat(g.edge_tab, g.node_tab, target_nodes,
+                                         meta, int(walk_length), int(seed),
+                                         int(padding_idx), bool(restart))
+            es = _edge_set_for_edge_list(g)
+            return _biased_edge_fat(g.edge_tab, g.node_tab, es.table,
+                                    target_nodes, meta, es.log_size, es.salt,
+                                    float(p), float(q), int(walk_length),
+                                    int(seed), int(padding_idx),
+                                    bool(restart))
         edge_list_indexed, node_edge_index = g.edge_list, g.node_edge_index
         iters = g.search_iters
     else:
