@@ -50,7 +50,46 @@ class Node2Vec:
     def init(self):
         return self.model.init(self.config.seed)
 
+    # Jitted steps take the graph tables as ARGUMENTS — closed-over arrays
+    # would bake into the compiled program as constants.
+
     @partial(jax.jit, static_argnums=0)
+    def _fat_step(self, params, opt_state, targets, epoch, edge_tab,
+                  node_tab, hash_table):
+        cfg = self.config
+        seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
+        from torch_random_walk_tpu.ops import fatwalk
+        from torch_random_walk_tpu.ops.fatwalk import FatMeta
+
+        meta = FatMeta.of(self.graph)
+        if cfg.p == 1.0 and cfg.q == 1.0:
+            walks = fatwalk.uniform_walk_fat(edge_tab, node_tab, targets,
+                                             meta, cfg.walk_length, seed)
+        else:
+            es = self._edge_set
+            walks = fatwalk.node2vec_walk_fat(edge_tab, node_tab, hash_table,
+                                              targets, meta, es.log_size,
+                                              es.salt, cfg.p, cfg.q,
+                                              cfg.walk_length, seed)
+        tgt, pos, neg = to_windows(walks, cfg.window_size,
+                                   self.graph.num_nodes, seed)
+        return self.model.train_step(params, opt_state, tgt, pos, neg)
+
+    @partial(jax.jit, static_argnums=0)
+    def _jnp_step(self, params, opt_state, targets, epoch, row_ptr, col_idx):
+        cfg = self.config
+        seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
+        if cfg.p == 1.0 and cfg.q == 1.0:
+            walks = uniform_walk_csr(row_ptr, col_idx, targets,
+                                     cfg.walk_length, seed)
+        else:
+            walks = node2vec_walk_csr(row_ptr, col_idx, targets, cfg.p,
+                                      cfg.q, cfg.walk_length, seed,
+                                      search_iters=self.graph.search_iters)
+        tgt, pos, neg = to_windows(walks, cfg.window_size,
+                                   self.graph.num_nodes, seed)
+        return self.model.train_step(params, opt_state, tgt, pos, neg)
+
     def epoch_step(self, params, opt_state, targets, epoch):
         """One fused sample+train step over a batch of start nodes.
 
@@ -58,18 +97,20 @@ class Node2Vec:
         determinism is retained: the whole run is a pure function of
         (config.seed, epoch, targets).
         """
+        g = self.graph
         cfg = self.config
-        seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
-        if cfg.p == 1.0 and cfg.q == 1.0:
-            walks = uniform_walk_csr(self.graph.row_ptr, self.graph.col_idx,
-                                     targets, cfg.walk_length, seed)
-        else:
-            walks = node2vec_walk_csr(self.graph.row_ptr, self.graph.col_idx,
-                                      targets, cfg.p, cfg.q, cfg.walk_length,
-                                      seed, search_iters=self.graph.search_iters)
-        tgt, pos, neg = to_windows(walks, cfg.window_size,
-                                   self.graph.num_nodes, seed)
-        return self.model.train_step(params, opt_state, tgt, pos, neg)
+        if g.edge_tab is not None:
+            if cfg.p == 1.0 and cfg.q == 1.0:
+                ht = g.edge_tab[:1]  # placeholder; unused on the uniform path
+            else:
+                from torch_random_walk_tpu.ops.walk import edge_set_for
+
+                self._edge_set = edge_set_for(g)
+                ht = self._edge_set.table
+            return self._fat_step(params, opt_state, targets, epoch,
+                                  g.edge_tab, g.node_tab, ht)
+        return self._jnp_step(params, opt_state, targets, epoch, g.row_ptr,
+                              g.col_idx)
 
     def train(self, num_epochs: int, batch_nodes=None, log_every: int = 0):
         """Simple training loop; returns (params, losses)."""

@@ -71,6 +71,18 @@ class ShardedNode2Vec:
         # graphs beyond per-chip HBM use parallel.partition instead).
         self.row_ptr = jax.device_put(graph.row_ptr, self._repl)
         self.col_idx = jax.device_put(graph.col_idx, self._repl)
+        self._use_fat = graph.edge_tab is not None
+        if self._use_fat:
+            self.edge_tab = jax.device_put(graph.edge_tab, self._repl)
+            self.node_tab = jax.device_put(graph.node_tab, self._repl)
+            if not (config.p == 1.0 and config.q == 1.0):
+                from torch_random_walk_tpu.ops.walk import edge_set_for
+
+                self._edge_set = edge_set_for(graph)
+                self.hash_table = jax.device_put(self._edge_set.table,
+                                                 self._repl)
+            else:
+                self.hash_table = self.edge_tab[:1]  # unused placeholder
 
     def init(self):
         """Initialize params + opt state already laid out on the mesh."""
@@ -84,16 +96,33 @@ class ShardedNode2Vec:
         )
         return params, opt_state
 
-    def _step(self, params, opt_state, targets, epoch):
+    def _sample(self, targets, seed, g1, g2, g3):
+        """Walk sampling inside the jitted step; graph tables arrive as
+        arguments (g1..g3), never closed over."""
+        cfg = self.config
+        if self._use_fat:
+            from torch_random_walk_tpu.ops import fatwalk
+            from torch_random_walk_tpu.ops.fatwalk import FatMeta
+
+            meta = FatMeta.of(self.graph)
+            if cfg.p == 1.0 and cfg.q == 1.0:
+                return fatwalk.uniform_walk_fat(g1, g2, targets, meta,
+                                                cfg.walk_length, seed)
+            es = self._edge_set
+            return fatwalk.node2vec_walk_fat(g1, g2, g3, targets, meta,
+                                             es.log_size, es.salt, cfg.p,
+                                             cfg.q, cfg.walk_length, seed)
+        if cfg.p == 1.0 and cfg.q == 1.0:
+            return uniform_walk_csr(g1, g2, targets, cfg.walk_length, seed)
+        return node2vec_walk_csr(g1, g2, targets, cfg.p, cfg.q,
+                                 cfg.walk_length, seed,
+                                 search_iters=self.graph.search_iters)
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def _jit_step(self, params, opt_state, targets, epoch, g1, g2, g3):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
-        if cfg.p == 1.0 and cfg.q == 1.0:
-            walks = uniform_walk_csr(self.row_ptr, self.col_idx, targets,
-                                     cfg.walk_length, seed)
-        else:
-            walks = node2vec_walk_csr(self.row_ptr, self.col_idx, targets,
-                                      cfg.p, cfg.q, cfg.walk_length, seed,
-                                      search_iters=self.graph.search_iters)
+        walks = self._sample(targets, seed, g1, g2, g3)
         tgt, pos, neg = to_windows(walks, cfg.window_size,
                                    self.graph.num_nodes, seed)
         loss, grads = jax.value_and_grad(self.model.loss_fn)(
@@ -103,14 +132,14 @@ class ShardedNode2Vec:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _jit_step(self, params, opt_state, targets, epoch):
-        return self._step(params, opt_state, targets, epoch)
-
     def train_step(self, params, opt_state, target_nodes, epoch=0):
         """One fused sample+train step; target batch sharded over 'data'."""
         targets = jax.device_put(
-            jnp.asarray(target_nodes, self.graph.col_idx.dtype), self._dp)
+            jnp.asarray(target_nodes, jnp.int32), self._dp)
+        if self._use_fat:
+            g1, g2, g3 = self.edge_tab, self.node_tab, self.hash_table
+        else:
+            g1, g2, g3 = self.row_ptr, self.col_idx, self.row_ptr[:1]
         with jax.set_mesh(self.mesh):
             return self._jit_step(params, opt_state, targets,
-                                  jnp.uint32(epoch))
+                                  jnp.uint32(epoch), g1, g2, g3)
