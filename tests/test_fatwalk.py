@@ -251,3 +251,37 @@ class TestEdgeListTriplesFat:
                                     padding_idx=-1, restart=True)
         np.testing.assert_array_equal(np.asarray(via_graph),
                                       np.asarray(via_arrays))
+
+
+class TestShardingDeterminism:
+    """SURVEY §7 hard part 4: chunked launches with walker_offset must
+    reproduce the single-launch bitstream exactly."""
+
+    def test_uniform_chunked_equals_full(self):
+        g = random_graph(300, 6, seed=21)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_nodes
+        full = fatwalk.uniform_walk_fat(g.edge_tab, g.node_tab, targets,
+                                        FatMeta.of(g), 12, seed=5)
+        lo = fatwalk.uniform_walk_fat(g.edge_tab, g.node_tab, targets[:128],
+                                      FatMeta.of(g), 12, seed=5,
+                                      walker_offset=0)
+        hi = fatwalk.uniform_walk_fat(g.edge_tab, g.node_tab, targets[128:],
+                                      FatMeta.of(g), 12, seed=5,
+                                      walker_offset=128)
+        np.testing.assert_array_equal(
+            np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
+
+    def test_biased_chunked_equals_full(self):
+        g = random_graph(300, 6, seed=22)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_nodes
+        es = edge_set_for(g)
+        kw = dict(meta=FatMeta.of(g), hash_log_size=es.log_size,
+                  hash_salt=es.salt, p=0.5, q=2.0, walk_length=10, seed=5)
+        full = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                         targets, **kw)
+        lo = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                       targets[:128], walker_offset=0, **kw)
+        hi = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                       targets[128:], walker_offset=128, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
