@@ -75,3 +75,26 @@ def test_biased_pipeline_runs():
     n2v = Node2Vec(csr, cfg)
     params, losses = n2v.train(num_epochs=3)
     assert np.isfinite(losses).all()
+
+
+def test_skipgram_bf16_tables_learn():
+    """bf16 embedding tables (half the gather/scatter bandwidth) still learn;
+    logits/loss stay float32."""
+    import optax
+
+    csr = barbell_graph()
+    model = SkipGramModel(csr.num_nodes, dim=16,
+                          optimizer=optax.adam(5e-2), dtype=jnp.bfloat16)
+    params, opt_state = model.init(0)
+    assert params["in_emb"].dtype == jnp.bfloat16
+    targets = jnp.arange(csr.num_nodes, dtype=jnp.int32)
+    first = last = None
+    for epoch in range(25):
+        walks = trw.walk(csr, target_nodes=targets, walk_length=10,
+                         seed=epoch)
+        tgt, pos, neg = to_windows(walks, 5, csr.num_nodes, seed=epoch)
+        params, opt_state, loss = model.train_step(params, opt_state, tgt,
+                                                   pos, neg)
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert last < first * 0.9, f"bf16 loss did not decrease: {first} -> {last}"

@@ -23,12 +23,19 @@ import optax
 
 
 class SkipGramModel:
-    """Functional SGNS model; holds only static config, never parameters."""
+    """Functional SGNS model; holds only static config, never parameters.
+
+    ``dtype=jnp.bfloat16`` halves embedding-table HBM traffic (the fused
+    train step is gather/scatter bound — BENCHLOG.md); logits and the loss
+    always compute in float32.  Default stays float32.
+    """
 
     def __init__(self, num_nodes: int, dim: int = 128,
-                 optimizer: optax.GradientTransformation | None = None):
+                 optimizer: optax.GradientTransformation | None = None,
+                 dtype=jnp.float32):
         self.num_nodes = num_nodes
         self.dim = dim
+        self.dtype = dtype
         self.optimizer = optimizer or optax.adam(1e-3)
 
     def init(self, seed: int = 0):
@@ -38,8 +45,8 @@ class SkipGramModel:
         params = {
             "in_emb": jax.random.uniform(
                 k_in, (self.num_nodes, self.dim), jnp.float32, -scale, scale
-            ),
-            "out_emb": jnp.zeros((self.num_nodes, self.dim), jnp.float32),
+            ).astype(self.dtype),
+            "out_emb": jnp.zeros((self.num_nodes, self.dim), self.dtype),
         }
         return params, self.optimizer.init(params)
 
@@ -52,8 +59,10 @@ class SkipGramModel:
         u = params["in_emb"][targets]            # (B, D)
         v_pos = params["out_emb"][pos]           # (B, C, D)
         v_neg = params["out_emb"][neg]           # (B, C, D)
-        pos_logit = jnp.einsum("bd,bcd->bc", u, v_pos)
-        neg_logit = jnp.einsum("bd,bcd->bc", u, v_neg)
+        pos_logit = jnp.einsum("bd,bcd->bc", u, v_pos,
+                               preferred_element_type=jnp.float32)
+        neg_logit = jnp.einsum("bd,bcd->bc", u, v_neg,
+                               preferred_element_type=jnp.float32)
         loss = -(
             jax.nn.log_sigmoid(pos_logit).sum(axis=-1)
             + jax.nn.log_sigmoid(-neg_logit).sum(axis=-1)
