@@ -74,3 +74,17 @@ def test_uniform_distribution_matches_oracle():
         assert nxt.size > 1000
         emp = np.bincount(nxt, minlength=5) / nxt.size
         np.testing.assert_allclose(emp, probs, atol=0.02)
+
+
+def test_parallel_edges_weight_transitions():
+    """Multigraph semantics (reference samples edge SLOTS uniformly, so a
+    doubled edge doubles its transition probability — rw_cpu.cpp:7-30)."""
+    # Node 0 has edges: 0->1 (x3), 0->2 (x1).
+    src = np.array([0, 0, 0, 0, 1, 2])
+    dst = np.array([1, 1, 1, 2, 0, 0])
+    csr = trw.CSRGraph.from_edges(src, dst, num_nodes=3)
+    targets = jnp.zeros(4000, jnp.int32)
+    walks = np.asarray(trw.walk(csr, target_nodes=targets, walk_length=1,
+                                seed=123))
+    frac_to_1 = (walks[:, 1] == 1).mean()
+    assert 0.70 < frac_to_1 < 0.80, f"expected ~0.75, got {frac_to_1}"
