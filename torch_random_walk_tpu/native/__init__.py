@@ -16,11 +16,27 @@ import numpy as np
 _LIB = None
 
 
+def _build():
+    """Best-effort `make -C csrc` for fresh checkouts (silent on failure)."""
+    import subprocess
+
+    csrc = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+    if not os.path.exists(os.path.join(csrc, "Makefile")):
+        return
+    try:
+        subprocess.run(["make", "-C", csrc], check=True, timeout=120,
+                       capture_output=True)
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
     path = os.path.join(os.path.dirname(__file__), "libtrw_native.so")
+    if not os.path.exists(path):
+        _build()
     if not os.path.exists(path):
         _LIB = False
         return False
