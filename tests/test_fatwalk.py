@@ -253,6 +253,69 @@ class TestEdgeListTriplesFat:
                                       np.asarray(via_arrays))
 
 
+class TestFatLargeBatch:
+    """The production CSR node2vec branches — hierarchical compaction
+    (B >= 4096, wide frozen band) and the speculative scan (narrow band) —
+    must equal the jnp reference path bit-for-bit, so the oracle-verified
+    transition law transfers to them (VERDICT r1 weakness #1).  Branch
+    selection is asserted via fatwalk.rejection_branch so each test provably
+    exercises the path it names."""
+
+    def _check(self, g, p, q, num_walkers, walk_length=12, seed=13):
+        targets = jnp.arange(num_walkers, dtype=jnp.int32) % g.num_nodes
+        ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, p, q,
+                                walk_length, seed=seed,
+                                search_iters=g.search_iters)
+        es = edge_set_for(g)
+        fat = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                        targets, FatMeta.of(g), es.log_size,
+                                        es.salt, p, q, walk_length, seed=seed)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    @pytest.mark.parametrize("num_walkers", [4096, 8192])
+    def test_hierarchical_bit_identical(self, num_walkers):
+        # p=.5, q=2 -> frozen-band fraction 0.5: compacted-levels branch.
+        assert fatwalk.rejection_branch(0.5, 2.0, num_walkers) == "hierarchical"
+        self._check(random_graph(400, 6, seed=31), 0.5, 2.0, num_walkers)
+
+    def test_hierarchical_with_dead_ends(self):
+        assert fatwalk.rejection_branch(0.5, 2.0, 4096) == "hierarchical"
+        self._check(random_graph(400, 5, seed=32, with_dead_ends=True),
+                    0.5, 2.0, 4096)
+
+    def test_speculative_zero_band(self):
+        # q == 1 -> prob_1 == prob_2: band 0, no draw ever needs the cuckoo
+        # set; the speculative scan's pure-register path.
+        assert fatwalk.rejection_branch(0.5, 1.0, 4096) == "speculative"
+        self._check(random_graph(400, 6, seed=33), 0.5, 1.0, 4096)
+
+    def test_speculative_narrow_band(self):
+        # p=1, q=1.25 -> f_ratio = 0.2: speculative scan WITH a compacted
+        # hash pass over frozen draws.
+        assert fatwalk.rejection_branch(1.0, 1.25, 4096) == "speculative"
+        self._check(random_graph(400, 6, seed=34), 1.0, 1.25, 4096)
+
+    def test_small_gate_boundary(self):
+        assert fatwalk.rejection_branch(0.5, 2.0, 4095) == "small"
+        self._check(random_graph(400, 6, seed=36), 0.5, 2.0, 2048)
+
+    def test_chunked_offsets_at_hierarchical_size(self):
+        g = random_graph(400, 6, seed=35)
+        es = edge_set_for(g)
+        kw = dict(meta=FatMeta.of(g), hash_log_size=es.log_size,
+                  hash_salt=es.salt, p=0.5, q=2.0, walk_length=10, seed=5)
+        targets = jnp.arange(8192, dtype=jnp.int32) % g.num_nodes
+        full = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                         targets, **kw)
+        lo = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                       targets[:4096], walker_offset=0, **kw)
+        hi = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                       targets[4096:], walker_offset=4096,
+                                       **kw)
+        np.testing.assert_array_equal(
+            np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
+
+
 class TestShardingDeterminism:
     """SURVEY §7 hard part 4: chunked launches with walker_offset must
     reproduce the single-launch bitstream exactly."""

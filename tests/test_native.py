@@ -24,6 +24,22 @@ def _ref_csr(src, dst, n):
     return row_ptr, dst[order].astype(np.int32)
 
 
+def test_native_build_is_loud():
+    """VERDICT r1 item 9: in a dev environment (compiler present) the native
+    library must actually build — the silent NumPy fallback is for end-user
+    machines only, and must not mask a rotting csrc/ build here."""
+    import os
+    import shutil
+
+    if os.environ.get("TRW_ALLOW_NO_NATIVE"):
+        pytest.skip("native requirement explicitly waived")
+    if shutil.which("g++") is None and shutil.which("cc") is None:
+        pytest.skip("no C++ toolchain on this machine")
+    assert native.available(), (
+        "native graph runtime failed to build; run `make -C csrc` and fix "
+        "the compiler errors (NumPy fallback is masking a build break)")
+
+
 class TestNativeBuilders:
     def test_build_csr_matches_numpy(self):
         rng = np.random.default_rng(0)

@@ -50,6 +50,41 @@ def test_randint_unbiased():
     np.testing.assert_allclose(counts, 1.0 / 7, atol=0.01)
 
 
+def test_mulhi32_exact():
+    """mulhi32 == the true high word of the 64-bit product."""
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 32, 4096, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, 4096, dtype=np.uint64)
+    expected = ((a * b) >> np.uint64(32)).astype(np.uint32)
+    got = prng.mulhi32(jnp.asarray(a.astype(np.uint32)),
+                       jnp.asarray(b.astype(np.uint32)))
+    np.testing.assert_array_equal(np.asarray(got), expected)
+    # Edge values.
+    for av, bv in [(0, 0), (0xFFFFFFFF, 0xFFFFFFFF), (0xFFFFFFFF, 1),
+                   (1 << 31, 2), (0x80000001, 0x7FFFFFFF)]:
+        e = (np.uint64(av) * np.uint64(bv)) >> np.uint64(32)
+        g = int(np.asarray(prng.mulhi32(jnp.uint32(av), jnp.uint32(bv))))
+        assert g == int(e), (av, bv)
+
+
+def test_randint_full_range_beyond_2_24():
+    """VERDICT r1 missing #2: for n > 2^24 every region of the id space must
+    be reachable (the old 24-bit float path could only ever hit 2^24 ids).
+    Coarse histogram over a 20M+-node space: all buckets populated."""
+    n = 20_000_000
+    key = prng.derive_key(11, prng.STREAM_WINDOWS_SG)
+    ids = jnp.arange(1 << 18, dtype=jnp.uint32)
+    bits, _ = prng.counter_bits(key, ids, jnp.zeros_like(ids))
+    r = np.asarray(prng.randint_from_bits(bits, n))
+    assert r.min() >= 0 and r.max() < n
+    buckets = np.bincount(r // (n // 128), minlength=128)[:128]
+    assert (buckets > 0).all(), "unreachable regions in the id space"
+    np.testing.assert_allclose(buckets / r.size, 1 / 128, atol=0.002)
+    # Odd ids are exactly half the draws (the float24 path made low bits
+    # vanish entirely for large n).
+    assert abs((r % 2).mean() - 0.5) < 0.01
+
+
 def test_sharding_invariance():
     """Bits depend only on global walker id: computing a shard's slice alone
     equals slicing the full batch's draws."""

@@ -118,33 +118,26 @@ def uniform_from_bits(bits):
     return (bits >> np.uint32(8)).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
+def mulhi32(a, b):
+    """High 32 bits of the 32x32 -> 64 unsigned product, in pure uint32 ops
+    (no x64 requirement; runs unchanged inside Pallas kernels)."""
+    a = jnp.asarray(a, jnp.uint32)
+    b = jnp.asarray(b, jnp.uint32)
+    mask = np.uint32(0xFFFF)
+    a_lo, a_hi = a & mask, a >> np.uint32(16)
+    b_lo, b_hi = b & mask, b >> np.uint32(16)
+    t = a_hi * b_lo + ((a_lo * b_lo) >> np.uint32(16))
+    u = a_lo * b_hi + (t & mask)
+    return a_hi * b_hi + (t >> np.uint32(16)) + (u >> np.uint32(16))
+
+
 def randint_from_bits(bits, n):
     """uint32 bits -> int32 uniform in [0, n) (n >= 1, may be a traced array).
 
-    floor(u * n) with u in [0,1): unbiased for n up to 2^24 (ample for vertex
-    degrees / per-node edge ranges); avoids the modulo bias of the reference's
-    ``rand() % n`` (/root/reference/csrc/cpu/rw_cpu.cpp:20).
+    Multiply-shift: floor(bits * n / 2^32) — exact full-range for any
+    n < 2^31 (the >2^24 id spaces of ogbn-papers100M-class graphs included;
+    a 24-bit float path would leave most of such a vocabulary unreachable).
+    Per-value bias is <= n/2^32, strictly better than the modulo bias of the
+    reference's ``rand() % n`` (/root/reference/csrc/cpu/rw_cpu.cpp:20).
     """
-    u = uniform_from_bits(bits)
-    return jnp.minimum(
-        (u * jnp.asarray(n, jnp.float32)).astype(jnp.int32),
-        jnp.asarray(n, jnp.int32) - 1,
-    )
-
-
-def randint64_from_bits(bits0, bits1, n):
-    """Two uint32 words -> int64-range uniform in [0, n) via 53-bit float64 path
-    when x64 is enabled, else a 48-bit fixed-point path in float32 pairs.
-
-    Only needed for edge spaces > 2^24; graphs below that use randint_from_bits.
-    """
-    hi = (bits0 >> np.uint32(8)).astype(jnp.float32)  # 24 bits
-    lo = (bits1 >> np.uint32(8)).astype(jnp.float32)  # 24 bits
-    u = hi * np.float32(1.0 / (1 << 24)) + lo * np.float32(1.0 / (1 << 24)) * np.float32(
-        1.0 / (1 << 24)
-    )
-    u = jnp.minimum(u, np.float32(1.0 - 1e-7))
-    return jnp.minimum(
-        (u * jnp.asarray(n, jnp.float32)).astype(jnp.int32),
-        jnp.asarray(n, jnp.int32) - 1,
-    )
+    return mulhi32(bits, n).astype(jnp.int32)
