@@ -59,14 +59,22 @@ def run_variant(name, graph, es, targets, args):
 
     def n2v(t, **over):
         merged = {**kw, **over}
-        f = jax.jit(lambda tt: fatwalk.node2vec_walk_fat(
-            graph.edge_tab, graph.node_tab, es.table, tt, **merged))
-        return timed(f, t, iters=args.iters)
+
+        # Arrays must be jit ARGUMENTS: closed-over tables are baked into
+        # the HLO (the 2GB cuckoo table blows the remote-compile limit).
+        def run(edge_tab, node_tab, table, tt):
+            return fatwalk.node2vec_walk_fat(edge_tab, node_tab, table, tt,
+                                             **merged)
+
+        return timed(jax.jit(run), graph.edge_tab, graph.node_tab, es.table,
+                     t, iters=args.iters)
 
     if name == "uniform":
-        f = jax.jit(lambda t: fatwalk.uniform_walk_fat(
-            graph.edge_tab, graph.node_tab, t, meta, L, 7))
-        return timed(f, targets, iters=args.iters)
+        def run_u(edge_tab, node_tab, t):
+            return fatwalk.uniform_walk_fat(edge_tab, node_tab, t, meta, L, 7)
+
+        return timed(jax.jit(run_u), graph.edge_tab, graph.node_tab, targets,
+                     iters=args.iters)
     if name == "full":
         return n2v(targets)
     if name == "norounds":

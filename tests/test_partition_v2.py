@@ -1,0 +1,171 @@
+"""Owner-routed partitioned walk engine (parallel/partition_v2.py).
+
+Bit-identity to the single-device engines on the 8-device virtual CPU mesh,
+carry-over correctness under deliberately starved capacities, and the
+exchange accounting the bench harness consumes.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from torch_random_walk_tpu.graph.csr import CSRGraph
+from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
+from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
+from torch_random_walk_tpu.parallel.mesh import make_mesh
+from torch_random_walk_tpu.parallel.partition import (
+    PartitionedCSR,
+    build_partition_hashes,
+)
+from torch_random_walk_tpu.parallel.partition_v2 import (
+    RoutedConfig,
+    build_partition_blooms,
+    walk_partitioned_node2vec_routed,
+    walk_partitioned_routed,
+)
+
+
+def random_graph(n, avg_deg, seed, with_dead_ends=False):
+    rng = np.random.default_rng(seed)
+    e = n * avg_deg
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    if with_dead_ends:
+        keep = src < (3 * n) // 4
+        src, dst = src[keep], dst[keep]
+    return CSRGraph.from_edges(src, dst, num_nodes=n)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+class TestRoutedUniform:
+    @pytest.mark.parametrize("dead_ends", [False, True])
+    def test_bit_identical_to_single_device(self, mesh, dead_ends):
+        g = random_graph(2000, 6, seed=41, with_dead_ends=dead_ends)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 20, seed=9)
+        # Dead-end graphs absorb walkers onto a few nodes: one shard may log
+        # nearly everything, so give the log full-batch capacity.
+        cfg = RoutedConfig(pair_capacity=512, log_capacity=512 * 21,
+                           max_phases=120)
+        walks, info = walk_partitioned_routed(pg, targets, mesh, 20, seed=9,
+                                              config=cfg)
+        assert info["overflow_dropped"] == 0
+        assert info["log_entries"] == 512 * 21
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+    def test_starved_capacity_carries_not_drops(self, mesh):
+        """With pair capacity far below demand, walkers lag phases via the
+        carry buffer but the output is still exact."""
+        g = random_graph(1000, 5, seed=42)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        cfg = RoutedConfig(pair_capacity=16, log_capacity=8192,
+                           max_phases=4000, carry_capacity=512)
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 8, seed=3)
+        walks, info = walk_partitioned_routed(pg, targets, mesh, 8, seed=3,
+                                              config=cfg)
+        assert info["overflow_dropped"] == 0
+        assert info["phases"] > 9  # provably lagged
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+    def test_skewed_targets_single_owner(self, mesh):
+        """All walkers start on one shard (worst-case arrival hot spot)."""
+        g = random_graph(1600, 6, seed=43)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.zeros(256, jnp.int32)  # all on shard 0
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 12, seed=5)
+        walks, info = walk_partitioned_routed(pg, targets, mesh, 12, seed=5)
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+class TestRoutedNode2vec:
+    def _ref(self, g, targets, p, q, length, seed):
+        return node2vec_walk_csr(g.row_ptr, g.col_idx, targets, p, q, length,
+                                 seed=seed, search_iters=g.search_iters)
+
+    @pytest.mark.parametrize("p,q", [(0.5, 2.0), (4.0, 0.25), (0.5, 1.0)])
+    def test_bit_identical_to_single_device(self, mesh, p, q):
+        g = random_graph(2000, 6, seed=51)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        hashes = build_partition_hashes(pg, g)
+        blooms = build_partition_blooms(pg, g)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        ref = self._ref(g, targets, p, q, 12, 7)
+        walks, info = walk_partitioned_node2vec_routed(
+            pg, hashes, targets, mesh, p, q, 12, seed=7, blooms=blooms)
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+    def test_bit_identical_without_blooms(self, mesh):
+        """blooms=None (saturated filters) must give the same walks — every
+        in-band draw just takes the exact remote path."""
+        g = random_graph(1500, 6, seed=55)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        hashes = build_partition_hashes(pg, g)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_nodes
+        ref = self._ref(g, targets, 0.5, 2.0, 8, 7)
+        walks, _ = walk_partitioned_node2vec_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, 8, seed=7)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+    def test_dead_ends_bit_identical(self, mesh):
+        g = random_graph(2000, 5, seed=52, with_dead_ends=True)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        hashes = build_partition_hashes(pg, g)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_nodes
+        cfg = RoutedConfig(pair_capacity=256, log_capacity=256 * 11,
+                           max_phases=200)
+        ref = self._ref(g, targets, 0.5, 2.0, 10, 3)
+        walks, info = walk_partitioned_node2vec_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, 10, seed=3, config=cfg)
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+    def test_collectives_per_step_amortized(self, mesh):
+        """VERDICT r1 item 5 'done' criterion: one all_to_all per phase,
+        <= 2 phases per walk step amortized (v1 paid 2 psums per rejection
+        round, ~7 rounds-worth of full-frontier traffic per step)."""
+        g = random_graph(4000, 8, seed=53)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        hashes = build_partition_hashes(pg, g)
+        blooms = build_partition_blooms(pg, g)
+        targets = jnp.arange(1024, dtype=jnp.int32) % g.num_nodes
+        length = 16
+        walks, info = walk_partitioned_node2vec_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, length, seed=11,
+            blooms=blooms)
+        assert info["overflow_dropped"] == 0
+        assert info["collectives_per_step"] <= 2.0, info
+        # Exchange volume is O(B) per phase, not O(B * D).
+        assert info["exchange_bytes"] < 56 * 3 * 1024 * (length + 2)
+
+    def test_starved_capacity_exact(self, mesh):
+        g = random_graph(1000, 5, seed=54)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_nodes
+        hashes = build_partition_hashes(pg, g)
+        cfg = RoutedConfig(pair_capacity=16, log_capacity=4096,
+                           max_phases=4000, carry_capacity=1024)
+        ref = self._ref(g, targets, 0.5, 2.0, 6, 5)
+        walks, info = walk_partitioned_node2vec_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, 6, seed=5, config=cfg)
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+    def test_uniform_exchange_accounting(self, mesh):
+        """O(B)-byte exchange: records sent ~= B * L (one routing record per
+        walker-step), nothing proportional to B * D."""
+        g = random_graph(2000, 6, seed=44)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        num, length = 512, 10
+        targets = jnp.arange(num, dtype=jnp.int32) % g.num_nodes
+        _, info = walk_partitioned_routed(pg, targets, mesh, length, seed=1)
+        sent = info["exchanged_records"]
+        assert num * length <= sent <= 2 * num * (length + 1)
+        assert info["exchange_bytes"] == sent * 12

@@ -1,0 +1,680 @@
+"""Edge-partitioned walks v2: owner-routed walker exchange (all_to_all).
+
+The v1 engine (parallel/partition.py) proves correctness by *reduction*:
+every device answers the full frontier and a psum combines answers — O(B*D)
+collective bytes per rejection round.  This module implements the shape
+SURVEY.md §2.8 actually calls for: **route each walker to the owner of its
+current node**, so every graph gather is local and the only traffic is the
+walker records themselves (O(B) bytes per step, independent of D).
+
+Machinery (all shapes static; SURVEY.md §7 hard part 3):
+
+- The graph is node-range partitioned (PartitionedCSR, reused from v1);
+  owner(v) = v // shard_nodes.
+- A walker is a fixed-width uint32 record.  Each *phase*, every shard:
+  processes its arrivals (one local (S, 2) node-meta row gather + one col
+  gather + threefry draw per walker), appends (wid, step, node) to a local
+  walk log, and compacts departures into per-destination capacity-C buffers
+  for ONE ``lax.all_to_all``.
+- **Carry-over**: departures beyond a destination's capacity stay in a
+  carry buffer and are retransmitted first next phase (FIFO priority, so
+  no starvation); walkers simply lag phases, never drop.  Capacity
+  accounting is asserted (overflow beyond carry capacity is counted and
+  must be 0 — capacities are sized so it cannot happen for B walkers).
+- Termination: a psum'd in-flight count; the phase while_loop exits when it
+  reaches zero.  Uniform walks take exactly L+1 phases when nothing carries.
+- Output: logs are scattered into the (B, L+1) walk tensor by one jitted
+  scatter after the shard_map returns.
+
+Exchange cost per *step*: exactly one all_to_all of walker records
+(12 bytes/walker for uniform), vs v1's per-round all_gather+psum of the full
+frontier on every device.  Exchanged-record and byte counts are returned for
+MetricsWriter wiring (VERDICT r1 item 5).
+
+Determinism: draws consume the identical (seed, stream, walker, step)
+threefry counters as the single-device engines, so walks are bit-identical
+to ops.fatwalk / ops.uniform (asserted in tests/test_partition_v2.py).
+Reference semantics: uniform_walk (/root/reference/csrc/cpu/rw_cpu.cpp:58-107)
+re-created as a distributed owner-routed sampler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from torch_random_walk_tpu.parallel.partition import PartitionedCSR
+from torch_random_walk_tpu.utils import prng
+
+# Record layout (uint32 words): wid, step, node.  `step` is the number of
+# completed steps; `node` the walker's current node (== walk[step]).
+_R_UNIFORM = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class RoutedConfig:
+    """Static capacities for the routed exchange.
+
+    pair_capacity: records one shard may send one destination per phase.
+    carry_capacity: per-destination retained-record slots for departures that
+        exceeded pair_capacity (they retransmit next phase; sized so extreme
+        hot spots queue instead of dropping).
+    log_capacity: per-shard walk-log slots (total log entries are exactly
+        B * (L + 1); hub shards log more than B*(L+1)/D — size with slack).
+    max_phases: while_loop bound (L+1 plus carry slack).
+    """
+
+    pair_capacity: int
+    log_capacity: int
+    max_phases: int
+    carry_capacity: int | None = None
+
+    @property
+    def carry(self) -> int:
+        return (self.carry_capacity if self.carry_capacity is not None
+                else 4 * self.pair_capacity)
+
+    @classmethod
+    def for_walk(cls, num_walkers: int, num_shards: int, walk_length: int,
+                 balance: float = 4.0) -> "RoutedConfig":
+        pair = int(balance * max(num_walkers // max(num_shards ** 2, 1), 1))
+        pair = max((pair + 127) // 128 * 128, 128)
+        log = int(balance * num_walkers * (walk_length + 1)
+                  // max(num_shards, 1))
+        log = max((log + 127) // 128 * 128, 256)
+        return cls(pair_capacity=pair, log_capacity=log,
+                   max_phases=4 * (walk_length + 2))
+
+
+def _compact_idx(mask, capacity: int):
+    """First `capacity` indices where mask is True; padded with len(mask)."""
+    num = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    write = jnp.where(mask & (pos < capacity), pos, capacity)
+    buf = jnp.full((capacity + 1,), num, jnp.int32)
+    buf = buf.at[write].set(jnp.arange(num, dtype=jnp.int32))
+    return buf[:capacity]
+
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _build_outbox(recs, dests, valid, carry, carry_valid, nshards, cap, ccap):
+    """Compact departure records into per-destination (D, cap) exchange
+    buffers, carried-over records first (FIFO: no starvation); departures
+    beyond cap go to the (D, ccap) carry buffer for the next phase.
+    Returns (outbox, carry, carry_valid, overflow_count)."""
+    width = recs.shape[-1]
+    all_recs = jnp.concatenate([carry.reshape(-1, width), recs])
+    all_dest = jnp.concatenate([
+        jnp.repeat(jnp.arange(nshards, dtype=jnp.int32), ccap), dests])
+    all_valid = jnp.concatenate([carry_valid.reshape(-1), valid])
+    n_all = all_recs.shape[0]
+    pad_rec = jnp.zeros((1, width), jnp.uint32).at[0, 0].set(_SENTINEL)
+    recs_pad = jnp.concatenate([all_recs, pad_rec])
+    out, new_carry = [], []
+    overflow = jnp.int32(0)
+    for d in range(nshards):
+        want = all_valid & (all_dest == d)
+        idx = _compact_idx(want, cap + ccap)
+        got = recs_pad[jnp.minimum(idx, n_all)]
+        got = jnp.where((idx < n_all)[:, None], got, pad_rec)
+        out.append(got[:cap])
+        new_carry.append(got[cap:])
+        overflow += jnp.maximum(
+            jnp.sum(want.astype(jnp.int32)) - (cap + ccap), 0)
+    outbox = jnp.stack(out)
+    carry_buf = jnp.stack(new_carry)
+    return outbox, carry_buf, carry_buf[:, :, 0] != _SENTINEL, overflow
+
+
+def _empty_carry(nshards, ccap, width):
+    carry = jnp.zeros((nshards, ccap, width), jnp.uint32)
+    return carry.at[:, :, 0].set(_SENTINEL), jnp.zeros((nshards, ccap), bool)
+
+
+def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
+                            walk_length: int, seed: int = 0,
+                            axis: str = "data",
+                            config: RoutedConfig | None = None):
+    """Uniform CSR walks with owner-routed walker exchange.
+
+    Returns (walks (B, L+1) int32, stats dict).  Bit-identical to
+    ops.uniform.uniform_walk_csr / ops.fatwalk.uniform_walk_fat.
+    """
+    num_walkers = int(target_nodes.shape[0])
+    nshards = pgraph.num_shards
+    if num_walkers % nshards:
+        raise ValueError(
+            f"num_walkers ({num_walkers}) must be divisible by the shard "
+            f"count ({nshards}); pad the target batch.")
+    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    shard_nodes = pgraph.shard_nodes
+    key = prng.derive_key(seed, prng.STREAM_CSR_UNIFORM)
+    cap = cfg.pair_capacity
+    ccap = cfg.carry
+    log_cap = cfg.log_capacity
+    sentinel = jnp.uint32(0xFFFFFFFF)
+
+    meta_sh, col_sh = pgraph.device_put(mesh, axis)
+    targets = jax.device_put(
+        jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
+
+    def shard_fn(meta, col, tgt_local):
+        meta = meta[0]          # (S, 2) [start, deg] local rows
+        col = col[0]            # (E_max,) global neighbor ids
+        my = lax.axis_index(axis)
+        e_max = col.shape[0]
+        blk = num_walkers // nshards
+
+        # --- phase-0 outbox: route each local target to its owner. -------
+        wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
+        rec0 = jnp.stack([wid0, jnp.zeros((blk,), jnp.uint32),
+                          tgt_local.astype(jnp.uint32)], axis=1)  # (blk, R)
+        dest0 = jnp.clip(tgt_local // shard_nodes, 0, nshards - 1)
+        valid0 = jnp.ones((blk,), bool)
+
+        def build_outbox(recs, dests, valid, carry, carry_valid):
+            return _build_outbox(recs, dests, valid, carry, carry_valid,
+                                 nshards, cap, ccap)
+
+        outbox, carry, carry_valid, ovf0 = build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_UNIFORM))
+
+        # One junk row at log_cap catches clamped writes; allocated once so
+        # the while_loop updates it in place (no per-phase copies).
+        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
+        log_n = jnp.int32(0)
+
+        def phase(state):
+            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
+             phases, overflow) = state
+            inbox = lax.all_to_all(outbox, axis, split_axis=0, concat_axis=0,
+                                   tiled=False)
+            recs = inbox.reshape(-1, _R_UNIFORM)          # (D*cap, R)
+            wid = recs[:, 0]
+            arrived = wid != sentinel
+            step = recs[:, 1]
+            v = recs[:, 2].astype(jnp.int32)
+
+            # Log (wid, step, v) for every arrival.
+            pos = log_n + jnp.cumsum(arrived.astype(jnp.int32)) - 1
+            slot = jnp.where(arrived & (pos < log_cap), pos, log_cap)
+            entry = jnp.stack([wid, step, recs[:, 2]], axis=1)
+            log = log.at[slot].set(entry)
+            log_n = log_n + jnp.sum(arrived.astype(jnp.int32))
+
+            # Step the walkers that still have steps to take.
+            stepping = arrived & (step < walk_length)
+            local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
+            rows = meta[local]
+            start, deg = rows[:, 0], rows[:, 1]
+            c1 = (step + 1) * jnp.uint32(prng.MAX_ROUNDS_PER_STEP)
+            bits, _ = prng.counter_bits(key, wid, c1)
+            off = prng.randint_from_bits(bits, jnp.maximum(deg, 1))
+            idx = jnp.clip(start + off.astype(start.dtype), 0, e_max - 1)
+            nxt = jnp.where(deg > 0, col[idx], v)
+            new_rec = jnp.stack([wid, step + 1, nxt.astype(jnp.uint32)],
+                                axis=1)
+            new_rec = jnp.where(stepping[:, None], new_rec,
+                                jnp.zeros_like(new_rec).at[:, 0].set(
+                                    sentinel))
+            dest = jnp.clip(nxt // shard_nodes, 0, nshards - 1)
+
+            outbox, carry, carry_valid, ovf = build_outbox(
+                new_rec, dest, stepping, carry, carry_valid)
+            sent = (jnp.sum(stepping.astype(jnp.int32))
+                    + jnp.sum(carry_valid.astype(jnp.int32)))
+            # In-flight = records still travelling anywhere (psum'd so the
+            # while cond is shard-invariant).
+            inflight = lax.psum(
+                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
+                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
+            return (outbox, carry, carry_valid, log, log_n, inflight,
+                    sent_recs + sent, phases + 1, overflow + ovf)
+
+        def cond(state):
+            inflight = state[5]
+            phases = state[7]
+            return jnp.logical_and(inflight > 0, phases < cfg.max_phases)
+
+        init_inflight = lax.psum(
+            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+
+        def varying(x):
+            # The while carry must have consistent device-variance types:
+            # these start identical on every shard but diverge in the body.
+            return lax.pcast(x, axis, to="varying")
+
+        state = (outbox, carry, carry_valid, varying(log), varying(log_n),
+                 init_inflight, varying(jnp.int32(0)), jnp.int32(0), ovf0)
+        state = lax.while_loop(cond, phase, state)
+        (_, _, _, log, log_n, _, sent_recs, phases, overflow) = state
+        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        stats = jnp.stack([log_n, sent_recs, phases, overflow])
+        return log[None, :log_cap], stats[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )
+    )
+    logs, stats = fn(meta_sh, col_sh, targets)
+
+    walks = _assemble(logs, num_walkers, walk_length)
+    stats = np.asarray(stats)
+    info = {
+        "log_entries": int(stats[:, 0].sum()),
+        "exchanged_records": int(stats[:, 1].sum()),
+        "phases": int(stats[:, 2].max()),
+        "overflow_dropped": int(stats[:, 3].sum()),
+        "exchange_bytes": int(stats[:, 1].sum()) * _R_UNIFORM * 4,
+    }
+    return walks, info
+
+
+# node2vec record layout (uint32 words).  Modes: 0 = STEP (walker at
+# owner(v), draw rejection rounds), 1 = RESOLVE (walker at owner(t), answer
+# the frozen distance-1 queries).
+#   w0 wid | w1 step + flags<<24 | w2 t | w3 v | w4 replay round
+#   w5 a_cand | w6 f1_cand | w7 f1_rnd | w8 f2_cand | w9 f2_rnd
+#   w10-w13: 128-bit Bloom filter of N(t) (see _BLOOM_MULS)
+# flags: bit0 mode, bit1 has_a, bit2 overflow, bits 3-4 n_f.
+_R_N2V = 14
+_F_MODE, _F_HAS_A, _F_OVF = 1, 2, 4
+
+# Per-node Bloom filters: most in-band draws are NOT neighbors of t, and a
+# local no-false-negative test decides them without the RESOLVE round trip
+# (acceptance threshold collapses to prob_2 exactly).  2 multiply-shift
+# probes into 128 bits: fp ~1-5% at degree 6-16; hubs saturate to
+# all-positive, which just falls back to the exact remote test.
+_BLOOM_BITS = 128
+_BLOOM_WORDS = 4
+_BLOOM_MULS = (0x9E3779B9, 0x85EBCA6B)
+
+
+def _bloom_positions(x):
+    """Bit positions (one per probe) for value x; identical math in the
+    NumPy builder and the jnp kernel."""
+    x = np.asarray(x, np.uint64)
+    return [((x * np.uint64(m)) & np.uint64(0xFFFFFFFF)) >> np.uint64(25)
+            for m in _BLOOM_MULS]
+
+
+def build_partition_blooms(pgraph: PartitionedCSR, graph) -> jnp.ndarray:
+    """(D, S, 4) uint32: per-node Bloom filter over its out-neighbor set."""
+    row_ptr = np.asarray(graph.row_ptr)
+    col_idx = np.asarray(graph.col_idx)
+    n = graph.num_nodes
+    s = pgraph.shard_nodes
+    blooms = np.zeros((pgraph.num_shards, s, _BLOOM_WORDS), np.uint32)
+    heads_local = np.repeat(np.arange(n), np.diff(row_ptr)) % s
+    shard_of = np.repeat(np.arange(n), np.diff(row_ptr)) // s
+    for pos in _bloom_positions(col_idx):
+        word = (pos >> np.uint64(5)).astype(np.int64)
+        bit = np.uint32(1) << (pos & np.uint64(31)).astype(np.uint32)
+        np.bitwise_or.at(blooms, (shard_of, heads_local, word), bit)
+    return jnp.asarray(blooms)
+
+
+def _bloom_maybe(bloom_words, cand):
+    """jnp: True unless the filter proves cand is not a neighbor of t.
+    bloom_words: (B, 4) uint32; cand: (B,) int32."""
+    x = cand.astype(jnp.uint32)
+    hit = jnp.ones(cand.shape, bool)
+    for m in _BLOOM_MULS:
+        pos = (x * jnp.uint32(m)) >> jnp.uint32(25)
+        word = (pos >> jnp.uint32(5)).astype(jnp.int32)
+        bit = jnp.uint32(1) << (pos & jnp.uint32(31))
+        w = jnp.take_along_axis(bloom_words, word[:, None], axis=1)[:, 0]
+        hit &= (w & bit) != 0
+    return hit
+
+
+def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
+                                     target_nodes, mesh: Mesh, p: float,
+                                     q: float, walk_length: int,
+                                     seed: int = 0, axis: str = "data",
+                                     config: RoutedConfig | None = None,
+                                     spec_rounds: int = 6, blooms=None):
+    """node2vec walks with owner-routed walkers (SURVEY.md §2.8's exchange).
+
+    The single-chip speculative-scan semantics (ops/fatwalk.py spec_phase)
+    distributed across shards: at owner(v) each walker draws ``spec_rounds``
+    candidates and classifies them with the no-hash band — only draws whose
+    acceptance lands inside [min(p1,p2), max(p1,p2)) need the distance-1
+    test, and those route to owner(t), where the per-shard cuckoo set
+    (build_partition_hashes: edges keyed by head) answers them *locally*.
+    So one all_to_all moves walkers AND queries together:
+
+        phase k:   STEP arrivals draw + classify   -> route next STEP to
+                   owner(next) (no frozen blockers), or RESOLVE to owner(t)
+        phase k+1: RESOLVE arrivals answer frozen draws locally -> STEP to
+                   owner(next), or replay-STEP back to owner(v)
+
+    Collectives: ONE all_to_all per phase, ~1.3-1.6 phases per walk step
+    amortized (vs v1's 2 psums per rejection round, ~7 rounds-worth of
+    full-frontier traffic per step at p=.5, q=2).  Exchange bytes are O(B)
+    per phase (40 B/record), independent of shard count.
+
+    Draws consume the identical threefry counters as
+    ops.fatwalk.node2vec_walk_fat / ops.node2vec.node2vec_walk_csr, and
+    rounds resolve in round order with identical acceptance — walks are
+    bit-identical to the single-device engines (tests/test_partition_v2.py).
+
+    ``hashes`` = parallel.partition.build_partition_hashes(pgraph, graph).
+    """
+    from torch_random_walk_tpu.graph.hashset import _hash_jnp_traced
+    from torch_random_walk_tpu.ops import common
+
+    num_walkers = int(target_nodes.shape[0])
+    nshards = pgraph.num_shards
+    if num_walkers % nshards:
+        raise ValueError(
+            f"num_walkers ({num_walkers}) must be divisible by the shard "
+            f"count ({nshards}); pad the target batch.")
+    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    shard_nodes = pgraph.shard_nodes
+    key = prng.derive_key(seed, prng.STREAM_CSR_BIASED)
+    prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
+    lo_acc = min(prob_1, prob_2)
+    hi_acc = max(prob_1, prob_2)
+    cap, ccap, log_cap = cfg.pair_capacity, cfg.carry, cfg.log_capacity
+    sentinel = _SENTINEL
+    hash_tables, hash_salts, hash_log = hashes
+
+    if blooms is None:
+        # Saturated filters == "always maybe": every in-band draw takes the
+        # exact remote test.  Pass build_partition_blooms(pgraph, graph) to
+        # resolve most of them locally.
+        blooms = jnp.full(
+            (nshards, pgraph.shard_nodes, _BLOOM_WORDS), 0xFFFFFFFF,
+            jnp.uint32)
+    meta_sh, col_sh = pgraph.device_put(mesh, axis)
+    sharding = NamedSharding(mesh, P(axis))
+    ht_sh = jax.device_put(hash_tables, sharding)
+    salts_sh = jax.device_put(hash_salts, sharding)
+    bloom_sh = jax.device_put(blooms, sharding)
+    targets = jax.device_put(jnp.asarray(target_nodes, jnp.int32), sharding)
+
+    def shard_fn(meta, col, ht, salt, bloom, tgt_local):
+        meta = meta[0]
+        col = col[0]
+        ht = ht[0]
+        salt = salt[0]
+        bloom = bloom[0]        # (S, 4) per-node N(t) Bloom filters
+        my = lax.axis_index(axis)
+        e_max = col.shape[0]
+        blk = num_walkers // nshards
+
+        def owner(nodes):
+            return jnp.clip(nodes // shard_nodes, 0, nshards - 1)
+
+        def pack(wid, step, flags, t, v, rnd, a, f1, f1r, f2, f2r, tb):
+            return jnp.concatenate([jnp.stack([
+                wid, step | (flags.astype(jnp.uint32) << jnp.uint32(24)),
+                t.astype(jnp.uint32), v.astype(jnp.uint32),
+                rnd.astype(jnp.uint32), a.astype(jnp.uint32),
+                f1.astype(jnp.uint32), f1r.astype(jnp.uint32),
+                f2.astype(jnp.uint32), f2r.astype(jnp.uint32)], axis=1),
+                tb.astype(jnp.uint32)], axis=1)
+
+        def local_contains(t, cand):
+            lo32 = cand.astype(jnp.uint32)
+            hi32 = t.astype(jnp.uint32)
+            hit = jnp.zeros(t.shape, bool)
+            for which in range(2):
+                pos = _hash_jnp_traced(lo32, hi32, salt, which, hash_log)
+                row = ht[pos]
+                hit |= (row[:, 0] == lo32) & (row[:, 1] == hi32)
+            return hit
+
+        def accept_r(wid, s, k):
+            """Recompute the acceptance uniform of round (s, k)."""
+            c1 = s * jnp.uint32(prng.MAX_ROUNDS_PER_STEP) + k
+            _, b_acc = prng.counter_bits(key, wid, c1)
+            return prng.uniform_from_bits(b_acc)
+
+        # --- phase-0: route targets (step=0 STEP records) to owners. -----
+        wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
+        z = jnp.zeros((blk,), jnp.uint32)
+        zb = jnp.zeros((blk, _BLOOM_WORDS), jnp.uint32)
+        rec0 = pack(wid0, z, z, tgt_local, tgt_local, z, z, z, z, z, z, zb)
+        outbox, carry, carry_valid, ovf0 = _build_outbox(
+            rec0, owner(tgt_local), jnp.ones((blk,), bool),
+            *_empty_carry(nshards, ccap, _R_N2V), nshards=nshards, cap=cap,
+            ccap=ccap)
+
+        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
+
+        def phase(state):
+            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
+             phases, overflow) = state
+            inbox = lax.all_to_all(outbox, axis, split_axis=0, concat_axis=0,
+                                   tiled=False)
+            recs = inbox.reshape(-1, _R_N2V)
+            wid = recs[:, 0]
+            arrived = wid != sentinel
+            step = recs[:, 1] & jnp.uint32(0xFFFFFF)
+            flags = recs[:, 1] >> jnp.uint32(24)
+            mode_resolve = arrived & ((flags & _F_MODE) != 0)
+            mode_step = arrived & ~mode_resolve
+            t = recs[:, 2].astype(jnp.int32)
+            v = recs[:, 3].astype(jnp.int32)
+            rnd0 = recs[:, 4]
+            a_cand = recs[:, 5].astype(jnp.int32)
+            f1c = recs[:, 6].astype(jnp.int32)
+            f1r_rnd = recs[:, 7]
+            f2c = recs[:, 8].astype(jnp.int32)
+            f2r_rnd = recs[:, 9]
+            # STEP records: Bloom of N(t); RESOLVE records: Bloom of N(v)
+            # (v is the next step's t — see departure packing below).
+            rec_bloom = recs[:, 10:14]
+            has_a = (flags & _F_HAS_A) != 0
+            ovf_f = (flags & _F_OVF) != 0
+            n_f = flags >> jnp.uint32(3)
+            s = step + 1  # the step being taken
+
+            # Log the arrival position of fresh STEP records (rnd == 0).
+            logging = mode_step & (rnd0 == 0)
+            pos = log_n + jnp.cumsum(logging.astype(jnp.int32)) - 1
+            slot = jnp.where(logging & (pos < log_cap), pos, log_cap)
+            log = log.at[slot].set(
+                jnp.stack([wid, step, recs[:, 3]], axis=1))
+            log_n = log_n + jnp.sum(logging.astype(jnp.int32))
+
+            # ---- STEP arrivals: draw + no-hash classify. ----------------
+            local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
+            rows = meta[local]
+            start, deg = rows[:, 0], rows[:, 1]
+            dead = deg == 0
+
+            # First hop (s == 1): one uniform draw, no acceptance.
+            c1_first = jnp.uint32(prng.MAX_ROUNDS_PER_STEP)
+            bits_first, _ = prng.counter_bits(
+                key, wid, jnp.full_like(wid, c1_first))
+            off_first = prng.randint_from_bits(bits_first,
+                                               jnp.maximum(deg, 1))
+            first_nxt = jnp.where(
+                dead, v,
+                col[jnp.clip(start + off_first.astype(start.dtype), 0,
+                             e_max - 1)])
+
+            # Rejection scan (s >= 2), spec_phase register semantics.
+            sc_has_a = jnp.zeros_like(dead)
+            sc_a = v
+            sc_nf = jnp.zeros(wid.shape, jnp.uint32)
+            sc_f1 = v
+            sc_f1r = jnp.zeros_like(rnd0)
+            sc_f2 = v
+            sc_f2r = jnp.zeros_like(rnd0)
+            sc_ovf = jnp.zeros_like(dead)
+            sc_stop3 = jnp.zeros_like(rnd0)
+            stopped = dead
+            for k in range(spec_rounds):
+                rk = rnd0 + jnp.uint32(k)
+                c1 = s * jnp.uint32(prng.MAX_ROUNDS_PER_STEP) + rk
+                b_cand, b_acc = prng.counter_bits(key, wid, c1)
+                off = prng.randint_from_bits(b_cand, jnp.maximum(deg, 1))
+                cand = col[jnp.clip(start + off.astype(start.dtype), 0,
+                                    e_max - 1)]
+                cand = jnp.where(dead, v, cand)
+                r = prng.uniform_from_bits(b_acc)
+                is_t = cand == t
+                # Bloom-negative => provably not a neighbor of t: the
+                # threshold is exactly prob_2, no remote test needed.
+                maybe = _bloom_maybe(rec_bloom, cand)
+                acc = jnp.where(is_t, r < prob_0,
+                                jnp.where(maybe, r < lo_acc, r < prob_2))
+                rej = jnp.where(is_t, r >= prob_0,
+                                jnp.where(maybe, r >= hi_acc, r >= prob_2))
+                frz = ~acc & ~rej
+                scan = ~stopped
+                new_f1 = scan & frz & (sc_nf == 0)
+                new_f2 = scan & frz & (sc_nf == 1)
+                new_f3 = scan & frz & (sc_nf == 2)
+                sc_f1 = jnp.where(new_f1, cand, sc_f1)
+                sc_f1r = jnp.where(new_f1, rk, sc_f1r)
+                sc_f2 = jnp.where(new_f2, cand, sc_f2)
+                sc_f2r = jnp.where(new_f2, rk, sc_f2r)
+                sc_nf = sc_nf + (new_f1 | new_f2 | new_f3).astype(jnp.uint32)
+                sc_ovf = sc_ovf | new_f3
+                sc_stop3 = jnp.where(new_f3, rk, sc_stop3)
+                new_a = scan & acc
+                sc_a = jnp.where(new_a, cand, sc_a)
+                sc_has_a = sc_has_a | new_a
+                stopped = stopped | new_a | new_f3
+
+            clean = sc_has_a & (sc_nf == 0)
+            active = mode_step & (step < walk_length)
+            step_next = jnp.where(s == 1, first_nxt,
+                                  jnp.where(dead, v, sc_a))
+            step_done = active & ((s == 1) | dead | clean)
+            pending = active & (s >= 2) & ~dead & (sc_nf >= 1)
+            allrej = active & (s >= 2) & ~dead & ~sc_has_a & (sc_nf == 0)
+            replay_rnd = jnp.where(sc_ovf, sc_stop3,
+                                   rnd0 + jnp.uint32(spec_rounds))
+
+            # ---- RESOLVE arrivals: answer frozen draws locally. ---------
+            r1 = accept_r(wid, s, f1r_rnd)
+            r2 = accept_r(wid, s, f2r_rnd)
+            acc1 = mode_resolve & jnp.where(local_contains(t, f1c),
+                                            r1 < prob_1, r1 < prob_2)
+            acc2 = (mode_resolve & (n_f >= 2) & ~acc1
+                    & jnp.where(local_contains(t, f2c), r2 < prob_1,
+                                r2 < prob_2))
+            res_ok = acc1 | acc2 | (mode_resolve & has_a)
+            res_next = jnp.where(acc1, f1c, jnp.where(acc2, f2c, a_cand))
+            res_fail = mode_resolve & ~res_ok
+
+            # ---- departures -------------------------------------------
+            zf = jnp.zeros_like(wid)
+            # (a) resolved steps (from STEP or RESOLVE): fresh STEP record.
+            # A walker that just took its LAST step still travels once more
+            # (to log walk[L] at its owner); arrivals with step == L forward
+            # nothing (step < walk_length gate).
+            adv_next = jnp.where(mode_resolve, res_next, step_next)
+            adv_valid = step_done | res_ok
+            # Fresh record's t is the current v: its Bloom is local here for
+            # STEP lanes (we ARE owner(v)); RESOLVE lanes shipped it in.
+            v_bloom_local = bloom[local]
+            fresh_tb = jnp.where(mode_resolve[:, None], rec_bloom,
+                                 v_bloom_local)
+            fresh = pack(wid, s, zf, v, adv_next, zf, zf, zf, zf, zf, zf,
+                         fresh_tb)
+            # (b) frozen-pending: RESOLVE record to owner(t), shipping
+            # N(v)'s Bloom so the resolve site can pack the next record.
+            pend_flags = (jnp.uint32(_F_MODE)
+                          | jnp.where(sc_has_a, jnp.uint32(_F_HAS_A),
+                                      jnp.uint32(0))
+                          | jnp.where(sc_ovf, jnp.uint32(_F_OVF),
+                                      jnp.uint32(0))
+                          | (jnp.minimum(sc_nf, 2) << jnp.uint32(3)))
+            pend = pack(wid, step, pend_flags, t, v, replay_rnd, sc_a,
+                        sc_f1, sc_f1r, sc_f2, sc_f2r, v_bloom_local)
+            # (c) replay: back to owner(v) as STEP with advanced round.
+            # allrej lanes keep their t-Bloom; res_fail lanes are at
+            # owner(t), whose Bloom row is local.
+            local_t = jnp.clip(t - my * shard_nodes, 0, shard_nodes - 1)
+            rep_tb = jnp.where(mode_resolve[:, None], bloom[local_t],
+                               rec_bloom)
+            rep = pack(wid, step, zf,
+                       t, v, jnp.where(mode_resolve, rnd0, replay_rnd),
+                       zf, zf, zf, zf, zf, rep_tb)
+            rep_valid = allrej | res_fail
+
+            recs_out = jnp.concatenate([fresh, pend, rep])
+            dest_out = jnp.concatenate([
+                owner(adv_next), owner(t), owner(v)])
+            valid_out = jnp.concatenate([adv_valid, pending, rep_valid])
+
+            outbox, carry, carry_valid, ovf = _build_outbox(
+                recs_out, dest_out, valid_out, carry, carry_valid,
+                nshards=nshards, cap=cap, ccap=ccap)
+            sent = jnp.sum(valid_out.astype(jnp.int32))
+            inflight = lax.psum(
+                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
+                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
+            return (outbox, carry, carry_valid, log, log_n, inflight,
+                    sent_recs + sent, phases + 1, overflow + ovf)
+
+        def cond(state):
+            return jnp.logical_and(state[5] > 0, state[7] < cfg.max_phases)
+
+        def varying(x):
+            return lax.pcast(x, axis, to="varying")
+
+        init_inflight = lax.psum(
+            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+        state = (outbox, carry, carry_valid, varying(log),
+                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
+                 jnp.int32(0), ovf0)
+        state = lax.while_loop(cond, phase, state)
+        (_, _, _, log, log_n, _, sent_recs, phases, overflow) = state
+        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        stats = jnp.stack([log_n, sent_recs, phases, overflow])
+        return log[None, :log_cap], stats[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )
+    )
+    logs, stats = fn(meta_sh, col_sh, ht_sh, salts_sh, bloom_sh, targets)
+    walks = _assemble(logs, num_walkers, walk_length)
+    stats = np.asarray(stats)
+    info = {
+        "log_entries": int(stats[:, 0].sum()),
+        "exchanged_records": int(stats[:, 1].sum()),
+        "phases": int(stats[:, 2].max()),
+        "overflow_dropped": int(stats[:, 3].sum()),
+        "exchange_bytes": int(stats[:, 1].sum()) * _R_N2V * 4,
+        "collectives_per_step": round(
+            int(stats[:, 2].max()) / max(walk_length, 1), 2),
+    }
+    return walks, info
+
+
+@partial(jax.jit, static_argnames=("num_walkers", "walk_length"))
+def _assemble(logs, num_walkers, walk_length):
+    """Scatter (D, log_cap, 3) logs into the (B, L+1) walk tensor."""
+    flat = logs.reshape(-1, 3)
+    wid = flat[:, 0]
+    ok = wid != jnp.uint32(0xFFFFFFFF)
+    row = jnp.where(ok, wid, num_walkers).astype(jnp.int32)
+    coli = jnp.where(ok, flat[:, 1], walk_length + 1).astype(jnp.int32)
+    walks = jnp.zeros((num_walkers + 1, walk_length + 2), jnp.int32)
+    walks = walks.at[row, coli].set(flat[:, 2].astype(jnp.int32))
+    return walks[:num_walkers, : walk_length + 1]
