@@ -7,15 +7,15 @@ TPU:
     python benchmarks/perf_node2vec.py --variant all
     python benchmarks/perf_node2vec.py --trace /tmp/n2vtrace
 
-Variants isolate the per-step cost of each engine stage by disabling the
-stages after it (outputs are then WRONG — timing only):
+Variants (legacy-engine ablations disable stages; outputs then WRONG —
+timing only):
 
     uniform    one row gather/step (the engine's hardware ceiling)
-    full       current production node2vec engine
-    norounds   first hop + scan framework only (no rejection work)
-    bulkonly   2 full-batch no-hash rounds, nothing else
-    nolevels   bulk rounds + tail (hierarchical levels disabled)
-    notail     bulk rounds + levels (while_loop tail disabled)
+    bloom      free-running Bloom engine over wide fat rows (production)
+    full       legacy hierarchical engine (no fat6 supplied)
+    bulkonly   legacy: 2 full-batch no-hash rounds, nothing else
+    nolevels   legacy: bulk rounds + tail (levels disabled)
+    notail     legacy: bulk rounds + levels (tail disabled)
 """
 
 from __future__ import annotations
@@ -69,6 +69,17 @@ def run_variant(name, graph, es, targets, args):
         return timed(jax.jit(run), graph.edge_tab, graph.node_tab, es.table,
                      t, iters=args.iters)
 
+    if name == "bloom":
+        from torch_random_walk_tpu.ops.walk import fat6_for
+
+        ft = fat6_for(graph)
+
+        def run_b(edge_tab, node_tab, table, e6, n6, tt):
+            return fatwalk.node2vec_walk_fat(edge_tab, node_tab, table, tt,
+                                             fat6=(e6, n6), **kw)
+
+        return timed(jax.jit(run_b), graph.edge_tab, graph.node_tab,
+                     es.table, ft[0], ft[1], targets, iters=args.iters)
     if name == "uniform":
         def run_u(edge_tab, node_tab, t):
             return fatwalk.uniform_walk_fat(edge_tab, node_tab, t, meta, L, 7)
@@ -77,13 +88,6 @@ def run_variant(name, graph, es, targets, args):
                      iters=args.iters)
     if name == "full":
         return n2v(targets)
-    if name == "norounds":
-        # Zero rejection rounds anywhere: patch the schedule to no levels and
-        # run with max_rounds=0 (tail exits immediately) and the bulk loop
-        # skipped via rounds=0 patching is invasive -- approximate with
-        # bulkonly minus one round is close enough; here we just time the
-        # uniform engine at the same L as the floor.
-        raise SystemExit("use 'uniform' as the no-work floor")
     if name == "bulkonly":
         with mock.patch.object(fatwalk, "_hier_schedule",
                                lambda *a, **k: []):

@@ -316,6 +316,141 @@ class TestFatLargeBatch:
             np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
 
 
+class TestBloomBranch:
+    """The free-running production branch (engaged whenever wide fat tables
+    are supplied at B >= 4096).  sampler="rejection" must stay bit-identical
+    to the jnp rejection path (Bloom negatives are exact; frozen rounds
+    replay identical counters through the cuckoo set)."""
+
+    def _check(self, g, p, q, num_walkers, walk_length=12, seed=13):
+        from torch_random_walk_tpu.ops.walk import fat6_for
+        targets = jnp.arange(num_walkers, dtype=jnp.int32) % g.num_nodes
+        ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, p, q,
+                                walk_length, seed=seed,
+                                search_iters=g.search_iters)
+        es = edge_set_for(g)
+        fat = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                        targets, FatMeta.of(g), es.log_size,
+                                        es.salt, p, q, walk_length, seed=seed,
+                                        fat6=fat6_for(g), sampler="rejection")
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    @pytest.mark.parametrize("p,q", [(0.5, 2.0), (4.0, 0.25), (0.5, 1.0)])
+    def test_freerun_rejection_bit_identical(self, p, q):
+        assert fatwalk.rejection_branch(p, q, 4096, True) == "bloom"
+        self._check(random_graph(400, 6, seed=61), p, q, 4096)
+
+    def test_freerun_rejection_large_batch_dead_ends(self):
+        self._check(random_graph(400, 5, seed=62, with_dead_ends=True),
+                    0.5, 2.0, 8192)
+
+    def test_freerun_rejection_chunked_offsets(self):
+        from torch_random_walk_tpu.ops.walk import fat6_for
+        g = random_graph(400, 6, seed=64)
+        es = edge_set_for(g)
+        kw = dict(meta=FatMeta.of(g), hash_log_size=es.log_size,
+                  hash_salt=es.salt, p=0.5, q=2.0, walk_length=10, seed=5,
+                  fat6=fat6_for(g), sampler="rejection")
+        targets = jnp.arange(8192, dtype=jnp.int32) % g.num_nodes
+        full = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                         targets, **kw)
+        lo = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                       targets[:4096], walker_offset=0, **kw)
+        hi = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                       targets[4096:], walker_offset=4096,
+                                       **kw)
+        np.testing.assert_array_equal(
+            np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
+
+
+class TestMixtureSampler:
+    """The composition-envelope sampler (production default): fat freerun
+    mixture must equal the jnp mixture reference bit-for-bit, and the jnp
+    mixture's transition law must match the exact node2vec distribution
+    (same oracle as the rejection sampler — the LAW is sampler-invariant)."""
+
+    def _check(self, g, p, q, num_walkers, walk_length=12, seed=13):
+        from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr_mixture
+        from torch_random_walk_tpu.ops.walk import fat6_for
+        targets = jnp.arange(num_walkers, dtype=jnp.int32) % g.num_nodes
+        ref = node2vec_walk_csr_mixture(g.row_ptr, g.col_idx, targets, p, q,
+                                        walk_length, seed,
+                                        g.layout.deg_bits,
+                                        search_iters=g.search_iters)
+        es = edge_set_for(g)
+        fat = fatwalk.node2vec_walk_fat(g.edge_tab, g.node_tab, es.table,
+                                        targets, FatMeta.of(g), es.log_size,
+                                        es.salt, p, q, walk_length, seed=seed,
+                                        fat6=fat6_for(g), sampler="mixture")
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
+
+    @pytest.mark.parametrize("p,q", [(0.5, 2.0), (4.0, 0.25), (0.25, 2.0),
+                                     (0.5, 1.0)])
+    def test_mixture_bit_identical(self, p, q):
+        self._check(random_graph(400, 6, seed=71), p, q, 4096)
+
+    def test_mixture_dead_ends(self):
+        self._check(random_graph(400, 5, seed=72, with_dead_ends=True),
+                    0.5, 2.0, 4096)
+
+    def test_mixture_parallel_edges(self):
+        """Multigraph: parallel edges multiply both the base slots and the
+        spike mass (rev/own multiplicities)."""
+        rng = np.random.default_rng(73)
+        n = 120
+        src = rng.integers(0, n, 900)
+        dst = rng.integers(0, n, 900)
+        src = np.concatenate([src, src[:300]])  # force parallel edges
+        dst = np.concatenate([dst, dst[:300]])
+        g = CSRGraph.from_edges(src, dst, num_nodes=n)
+        self._check(g, 0.25, 2.0, 4096, walk_length=10)
+
+    def test_mixture_matches_node2vec_law(self):
+        """Empirical transition law of the mixture sampler == the exact
+        node2vec distribution (oracle) — sampler equivalence."""
+        from torch_random_walk_tpu.graph import oracle
+        from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr_mixture
+        import networkx as nx
+        import torch_random_walk_tpu as trw
+        gx = nx.Graph()
+        for e in [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("D", "C"),
+                  ("E", "A"), ("E", "D")]:
+            gx.add_edge(*e)
+        csr = trw.CSRGraph.from_networkx(gx)
+        rp, ci = np.asarray(csr.row_ptr), np.asarray(csr.col_idx)
+        p, q = 0.5, 2.0
+        walks = np.asarray(node2vec_walk_csr_mixture(
+            csr.row_ptr, csr.col_idx, jnp.zeros(30000, jnp.int32), p, q, 5,
+            99, csr.layout.deg_bits, search_iters=csr.search_iters))
+        pooled = {}
+        for s in range(2, walks.shape[1]):
+            for t, v, x in zip(walks[:, s - 2], walks[:, s - 1], walks[:, s]):
+                pooled.setdefault((t, v), []).append(x)
+        checked = 0
+        for (t, v), nxts in pooled.items():
+            if len(nxts) < 2000:
+                continue
+            emp = np.bincount(nxts, minlength=5) / len(nxts)
+            probs = oracle.node2vec_csr_probs(rp, ci, t, v, p, q, 5)
+            np.testing.assert_allclose(emp, probs, atol=0.03)
+            checked += 1
+        assert checked >= 5
+
+    def test_public_walk_default_is_mixture(self):
+        """walk(CSRGraph) at production batch sizes routes to the freerun
+        mixture engine and equals the jnp mixture reference."""
+        from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr_mixture
+        from torch_random_walk_tpu.ops.walk import walk
+        g = random_graph(300, 6, seed=74)
+        targets = jnp.arange(4096, dtype=jnp.int32) % g.num_nodes
+        via_graph = walk(g, target_nodes=targets, p=0.5, q=2.0,
+                         walk_length=10, seed=5)
+        ref = node2vec_walk_csr_mixture(g.row_ptr, g.col_idx, targets, 0.5,
+                                        2.0, 10, 5, g.layout.deg_bits,
+                                        search_iters=g.search_iters)
+        np.testing.assert_array_equal(np.asarray(via_graph), np.asarray(ref))
+
+
 class TestShardingDeterminism:
     """SURVEY §7 hard part 4: chunked launches with walker_offset must
     reproduce the single-launch bitstream exactly."""

@@ -84,8 +84,17 @@ class EdgeHashSet:
     @classmethod
     def from_edges(cls, src, dst, max_rounds: int = 256) -> "EdgeHashSet":
         n = np.asarray(src).shape[0]
-        log_size = max(4, int(np.ceil(np.log2(max(4 * n, 16)))))
-        return cls.from_edges_with_log_size(src, dst, log_size, max_rounds)
+        # 2.5x sizing -> load factor <= 0.4 (cuckoo-safe; the build retries
+        # with log_size + 1 on failure).  The previous 4x sizing put the
+        # ogbn-scale table at 2^28 rows, where the TPU gather engine slows
+        # to ~60M rows/s — table size, not probe count, bounds the exact
+        # distance-1 test (BENCHLOG.md).
+        log_size = max(4, int(np.ceil(np.log2(max(2.5 * n, 16)))))
+        try:
+            return cls.from_edges_with_log_size(src, dst, log_size, max_rounds)
+        except RuntimeError:
+            return cls.from_edges_with_log_size(src, dst, log_size + 1,
+                                                max_rounds)
 
     @classmethod
     def from_edges_with_log_size(cls, src, dst, log_size: int,

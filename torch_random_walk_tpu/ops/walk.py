@@ -35,6 +35,7 @@ from torch_random_walk_tpu.ops.uniform import uniform_walk_csr
 # Lazy per-graph cuckoo edge sets (biased walks only).  id-keyed with a
 # weakref finalizer: CSRGraph holds jnp arrays so it is not itself hashable.
 _EDGE_SET_CACHE: dict[int, EdgeHashSet] = {}
+_BLOOM_CACHE: dict[int, object] = {}
 
 
 def edge_set_for(graph: CSRGraph) -> EdgeHashSet:
@@ -48,6 +49,41 @@ def edge_set_for(graph: CSRGraph) -> EdgeHashSet:
         _EDGE_SET_CACHE[key] = es
         weakref.finalize(graph, _EDGE_SET_CACHE.pop, key, None)
     return es
+
+
+def fat6_for(graph: CSRGraph):
+    """Lazy per-graph WIDE fat tables for the free-running biased engine
+    (ops/fatwalk.py 'bloom' branch).  (E, 6) / (N, 6) uint32 rows:
+
+        w0-w1  packed (node, start, deg)         -- graph.layout
+        w2-w4  the node's 96-bit out-neighbor Bloom filter
+        w5     packed multiplicities rev | own << 16 (the mixture
+               sampler's spike masses — graph/bloom.py)
+
+    One gather returns the candidate, its meta, the next step's distance-1
+    pre-filter AND the next state's spike mass."""
+    import jax.numpy as jnp
+
+    from torch_random_walk_tpu.graph.bloom import (
+        build_edge_multiplicities,
+        build_node_blooms,
+    )
+
+    key = id(graph)
+    ft = _BLOOM_CACHE.get(key)
+    if ft is None:
+        blooms = build_node_blooms(graph.row_ptr, graph.col_idx, words=3)
+        col = np.asarray(graph.col_idx)
+        rev = build_edge_multiplicities(graph.row_ptr, graph.col_idx)
+        e6 = np.concatenate(
+            [np.asarray(graph.edge_tab), blooms[col], rev[:, None]], axis=1)
+        n6 = np.concatenate(
+            [np.asarray(graph.node_tab), blooms,
+             np.zeros((graph.num_nodes, 1), np.uint32)], axis=1)
+        ft = (jnp.asarray(e6), jnp.asarray(n6))
+        _BLOOM_CACHE[key] = ft
+        weakref.finalize(graph, _BLOOM_CACHE.pop, key, None)
+    return ft
 
 
 @partial(jax.jit, static_argnames=("walk_length",))
@@ -71,10 +107,12 @@ def _uniform_fat(edge_tab, node_tab, target_nodes, meta, walk_length, seed):
 @partial(jax.jit, static_argnames=("meta", "hash_log_size", "hash_salt", "p",
                                    "q", "walk_length"))
 def _biased_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
-                hash_log_size, hash_salt, p, q, walk_length, seed):
+                hash_log_size, hash_salt, p, q, walk_length, seed,
+                fat6=None):
     return fatwalk.node2vec_walk_fat(edge_tab, node_tab, hash_table,
                                      target_nodes, meta, hash_log_size,
-                                     hash_salt, p, q, walk_length, seed)
+                                     hash_salt, p, q, walk_length, seed,
+                                     fat6=fat6)
 
 
 def walk(row_ptr, col_idx=None, target_nodes=None, p=1.0, q=1.0,
@@ -90,9 +128,13 @@ def walk(row_ptr, col_idx=None, target_nodes=None, p=1.0, q=1.0,
                 return _uniform_fat(g.edge_tab, g.node_tab, target_nodes,
                                     meta, int(walk_length), int(seed))
             es = edge_set_for(g)
+            nw = int(target_nodes.shape[0])
+            ft = (fat6_for(g)
+                  if fatwalk.rejection_branch(p, q, nw, True) == "bloom"
+                  else None)
             return _biased_fat(g.edge_tab, g.node_tab, es.table, target_nodes,
                                meta, es.log_size, es.salt, float(p), float(q),
-                               int(walk_length), int(seed))
+                               int(walk_length), int(seed), ft)
         row_ptr, col_idx, iters = g.row_ptr, g.col_idx, g.search_iters
     else:
         iters = common.DEFAULT_SEARCH_ITERS
