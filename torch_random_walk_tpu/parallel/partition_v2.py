@@ -139,10 +139,28 @@ def _empty_carry(nshards, ccap, width):
     return carry.at[:, :, 0].set(_SENTINEL), jnp.zeros((nshards, ccap), bool)
 
 
+def _make_a2a(exchange: str, axis: str, nshards: int, interpret: bool):
+    """Exchange backend: XLA's all_to_all collective, or the Pallas direct
+    remote-DMA kernel (parallel/pallas_exchange.py) — flag-gated until
+    multi-chip hardware can measure it; interpret=True runs it on the
+    virtual CPU mesh."""
+    if exchange == "pallas":
+        from torch_random_walk_tpu.parallel.pallas_exchange import (
+            pallas_all_to_all,
+        )
+
+        return lambda x: pallas_all_to_all(x, axis, nshards,
+                                           interpret=interpret)
+    return lambda x: lax.all_to_all(x, axis, split_axis=0, concat_axis=0,
+                                    tiled=False)
+
+
 def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
                             walk_length: int, seed: int = 0,
                             axis: str = "data",
-                            config: RoutedConfig | None = None):
+                            config: RoutedConfig | None = None,
+                            exchange: str = "xla",
+                            exchange_interpret: bool = False):
     """Uniform CSR walks with owner-routed walker exchange.
 
     Returns (walks (B, L+1) int32, stats dict).  Bit-identical to
@@ -192,11 +210,12 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
         log_n = jnp.int32(0)
 
+        a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
+
         def phase(state):
             (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
              phases, overflow) = state
-            inbox = lax.all_to_all(outbox, axis, split_axis=0, concat_axis=0,
-                                   tiled=False)
+            inbox = a2a(outbox)
             recs = inbox.reshape(-1, _R_UNIFORM)          # (D*cap, R)
             wid = recs[:, 0]
             arrived = wid != sentinel
@@ -250,6 +269,9 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         def varying(x):
             # The while carry must have consistent device-variance types:
             # these start identical on every shard but diverge in the body.
+            # (No-op under check_vma=False, i.e. the Pallas exchange.)
+            if exchange == "pallas":
+                return x
             return lax.pcast(x, axis, to="varying")
 
         state = (outbox, carry, carry_valid, varying(log), varying(log_n),
@@ -266,6 +288,9 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis)),
+            # The interpreted Pallas exchange mixes varying/invariant types
+            # inside its HLO interpreter; vma checking must be off for it.
+            check_vma=(exchange != "pallas"),
         )
     )
     logs, stats = fn(meta_sh, col_sh, targets)
@@ -292,52 +317,23 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
 _R_N2V = 14
 _F_MODE, _F_HAS_A, _F_OVF = 1, 2, 4
 
-# Per-node Bloom filters: most in-band draws are NOT neighbors of t, and a
-# local no-false-negative test decides them without the RESOLVE round trip
-# (acceptance threshold collapses to prob_2 exactly).  2 multiply-shift
-# probes into 128 bits: fp ~1-5% at degree 6-16; hubs saturate to
-# all-positive, which just falls back to the exact remote test.
-_BLOOM_BITS = 128
-_BLOOM_WORDS = 4
-_BLOOM_MULS = (0x9E3779B9, 0x85EBCA6B)
-
-
-def _bloom_positions(x):
-    """Bit positions (one per probe) for value x; identical math in the
-    NumPy builder and the jnp kernel."""
-    x = np.asarray(x, np.uint64)
-    return [((x * np.uint64(m)) & np.uint64(0xFFFFFFFF)) >> np.uint64(25)
-            for m in _BLOOM_MULS]
+# Per-node Bloom filters (graph/bloom.py): most in-band draws are NOT
+# neighbors of t, and a local no-false-negative test decides them without
+# the RESOLVE round trip (threshold collapses to prob_2 exactly).
+from torch_random_walk_tpu.graph.bloom import (  # noqa: E402
+    BLOOM_WORDS as _BLOOM_WORDS,
+    bloom_maybe as _bloom_maybe,
+    build_node_blooms,
+)
 
 
 def build_partition_blooms(pgraph: PartitionedCSR, graph) -> jnp.ndarray:
-    """(D, S, 4) uint32: per-node Bloom filter over its out-neighbor set."""
-    row_ptr = np.asarray(graph.row_ptr)
-    col_idx = np.asarray(graph.col_idx)
-    n = graph.num_nodes
+    """(D, S, 4) uint32: per-node Bloom filters, node-range sharded."""
+    flat = build_node_blooms(graph.row_ptr, graph.col_idx)
     s = pgraph.shard_nodes
-    blooms = np.zeros((pgraph.num_shards, s, _BLOOM_WORDS), np.uint32)
-    heads_local = np.repeat(np.arange(n), np.diff(row_ptr)) % s
-    shard_of = np.repeat(np.arange(n), np.diff(row_ptr)) // s
-    for pos in _bloom_positions(col_idx):
-        word = (pos >> np.uint64(5)).astype(np.int64)
-        bit = np.uint32(1) << (pos & np.uint64(31)).astype(np.uint32)
-        np.bitwise_or.at(blooms, (shard_of, heads_local, word), bit)
-    return jnp.asarray(blooms)
-
-
-def _bloom_maybe(bloom_words, cand):
-    """jnp: True unless the filter proves cand is not a neighbor of t.
-    bloom_words: (B, 4) uint32; cand: (B,) int32."""
-    x = cand.astype(jnp.uint32)
-    hit = jnp.ones(cand.shape, bool)
-    for m in _BLOOM_MULS:
-        pos = (x * jnp.uint32(m)) >> jnp.uint32(25)
-        word = (pos >> jnp.uint32(5)).astype(jnp.int32)
-        bit = jnp.uint32(1) << (pos & jnp.uint32(31))
-        w = jnp.take_along_axis(bloom_words, word[:, None], axis=1)[:, 0]
-        hit &= (w & bit) != 0
-    return hit
+    padded = np.zeros((pgraph.num_shards * s, _BLOOM_WORDS), np.uint32)
+    padded[: flat.shape[0]] = flat
+    return jnp.asarray(padded.reshape(pgraph.num_shards, s, _BLOOM_WORDS))
 
 
 def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
@@ -345,7 +341,9 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
                                      q: float, walk_length: int,
                                      seed: int = 0, axis: str = "data",
                                      config: RoutedConfig | None = None,
-                                     spec_rounds: int = 6, blooms=None):
+                                     spec_rounds: int = 6, blooms=None,
+                                     exchange: str = "xla",
+                                     exchange_interpret: bool = False):
     """node2vec walks with owner-routed walkers (SURVEY.md §2.8's exchange).
 
     The single-chip speculative-scan semantics (ops/fatwalk.py spec_phase)
@@ -456,11 +454,12 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
 
         log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
 
+        a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
+
         def phase(state):
             (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
              phases, overflow) = state
-            inbox = lax.all_to_all(outbox, axis, split_axis=0, concat_axis=0,
-                                   tiled=False)
+            inbox = a2a(outbox)
             recs = inbox.reshape(-1, _R_N2V)
             wid = recs[:, 0]
             arrived = wid != sentinel
@@ -631,6 +630,8 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
             return jnp.logical_and(state[5] > 0, state[7] < cfg.max_phases)
 
         def varying(x):
+            if exchange == "pallas":
+                return x
             return lax.pcast(x, axis, to="varying")
 
         init_inflight = lax.psum(
@@ -650,6 +651,7 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis)),
+            check_vma=(exchange != "pallas"),
         )
     )
     logs, stats = fn(meta_sh, col_sh, ht_sh, salts_sh, bloom_sh, targets)
