@@ -1,14 +1,22 @@
 """Benchmark harness: sampled node-steps/sec/chip (BASELINE.md north-star metric).
 
-Measures uniform and node2vec(p=0.5, q=2.0) walk sampling throughput on a
-synthetic power-law graph sized for the detected platform, plus the fused
-walk->windows->SGNS training step.  Prints ONE JSON line:
+Measures uniform and node2vec(p=0.5, q=2.0) walk sampling throughput plus the
+fused walk->windows->SGNS training step, on either a synthetic power-law
+graph or the ogbn-products workload shape (BASELINE.json config 4).  Prints
+ONE JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 The reference publishes no benchmark numbers (BASELINE.md: "published": {}),
 so vs_baseline is reported against this framework's own recorded first-round
 value when present (BENCH_BASELINE.json), else 1.0.
+
+Datasets:
+  --dataset synthetic       auto-sized power-law graph (default)
+  --dataset ogbn-products   real edges from the OGB cache when present
+                            (graph/datasets.load_ogbn), else a synthetic
+                            graph with ogbn-products' shape: 2.45M nodes,
+                            ~124M directed edges, avg degree ~50, hub skew.
 """
 
 from __future__ import annotations
@@ -16,17 +24,29 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 
 import numpy as np
 
+OGBN_PRODUCTS_NODES = 2_449_029
+OGBN_PRODUCTS_AVG_DEGREE = 50
 
-def build_graph(num_nodes: int, avg_degree: int, seed: int = 0):
-    """Synthetic graph with a power-law-ish degree skew (hub nodes stress the
-    gather path the way ogbn graphs do)."""
-    from torch_random_walk_tpu.graph.datasets import synthetic_power_law
 
-    return synthetic_power_law(num_nodes, avg_degree, seed)
+def build_graph(args, on_tpu: bool):
+    from torch_random_walk_tpu.graph.datasets import (
+        load_ogbn,
+        synthetic_power_law,
+    )
+
+    if args.dataset == "ogbn-products":
+        try:
+            graph, _ = load_ogbn("ogbn-products", root=args.data_root)
+            return graph, "ogbn-products"
+        except ImportError:
+            graph = synthetic_power_law(OGBN_PRODUCTS_NODES,
+                                        OGBN_PRODUCTS_AVG_DEGREE, 0)
+            return graph, "ogbn-products-shape-synthetic"
+    num_nodes = args.nodes or (2_000_000 if on_tpu else 50_000)
+    return synthetic_power_law(num_nodes, args.degree, 0), "synthetic"
 
 
 def time_fn(fn, *args, warmup=2, iters=5):
@@ -41,11 +61,15 @@ def time_fn(fn, *args, warmup=2, iters=5):
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, default="synthetic",
+                        choices=["synthetic", "ogbn-products"])
+    parser.add_argument("--data-root", type=str, default="dataset")
     parser.add_argument("--nodes", type=int, default=0, help="0 = auto-size")
     parser.add_argument("--degree", type=int, default=16)
     parser.add_argument("--walkers", type=int, default=0, help="0 = auto-size")
     parser.add_argument("--walk-length", type=int, default=80)
     parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--train-dim", type=int, default=128)
     parser.add_argument("--profile-dir", type=str, default="")
     args = parser.parse_args()
 
@@ -53,15 +77,14 @@ def main():
     import jax.numpy as jnp
 
     from torch_random_walk_tpu.ops.walk import walk
-    from torch_random_walk_tpu.ops.windows import to_windows
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    num_nodes = args.nodes or (2_000_000 if on_tpu else 50_000)
+    graph, dataset_name = build_graph(args, on_tpu)
+    num_nodes = graph.num_nodes
     num_walkers = args.walkers or (131_072 if on_tpu else 8_192)
     walk_length = args.walk_length
 
-    graph = build_graph(num_nodes, args.degree)
     targets = jnp.arange(num_walkers, dtype=graph.col_idx.dtype) % num_nodes
 
     def uniform_fn(t):
@@ -85,23 +108,22 @@ def main():
     uniform_sps = steps / dt_uniform
     biased_sps = steps / dt_biased
 
-    # Fused training step throughput (walks -> windows -> SGNS loss step).
-    # Uses a smaller graph: embedding tables + Adam state for multi-million
-    # node graphs exceed single-chip HBM transiently (that's the sharded
-    # trainer's job, parallel/trainer.py).
+    # Fused training step (walks -> windows -> SGNS loss) on the SAME graph.
+    # bf16 embedding tables keep multi-million-node tables + Adam state
+    # within single-chip HBM (the sharded trainer, parallel/trainer.py,
+    # removes even that limit on real pods).
     from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
 
-    train_nodes = min(num_nodes, 200_000)
-    train_graph = (graph if train_nodes == num_nodes
-                   else build_graph(train_nodes, args.degree))
-    n2v = Node2Vec(train_graph, Node2VecConfig(dim=128, walk_length=16,
-                                               window_size=5, p=1.0, q=1.0))
+    train_dtype = "bfloat16" if num_nodes > 500_000 else "float32"
+    n2v = Node2Vec(graph, Node2VecConfig(dim=args.train_dim, walk_length=16,
+                                         window_size=5, p=1.0, q=1.0,
+                                         dtype=train_dtype))
     params, opt_state = n2v.init()
 
     def train_fn(p, o, t):
         return n2v.epoch_step(p, o, t, jnp.uint32(1))
 
-    train_targets = targets[: min(num_walkers, 65_536 if on_tpu else 4_096)] % train_nodes
+    train_targets = targets[: min(num_walkers, 65_536 if on_tpu else 4_096)]
     dt_train = time_fn(train_fn, params, opt_state, train_targets,
                        iters=max(2, args.iters // 2))
     train_sps = train_targets.shape[0] * 16 / dt_train
@@ -123,7 +145,9 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "uniform_node_steps_per_sec": round(uniform_sps, 1),
         "fused_train_node_steps_per_sec": round(train_sps, 1),
+        "train_dtype": train_dtype,
         "platform": platform,
+        "dataset": dataset_name,
         "num_nodes": num_nodes,
         "num_edges": graph.num_edges,
         "num_walkers": num_walkers,

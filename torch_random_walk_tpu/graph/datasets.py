@@ -67,6 +67,102 @@ def load_ogbn(name: str, root: str = "dataset", symmetrize: bool = True):
     return g, labels
 
 
+def load_planetoid(name: str, root: str = "dataset"):
+    """Cora/Citeseer/Pubmed loader (BASELINE.json config 2 graphs).
+
+    Accepts either a cached ``{root}/{name}_edges.npz`` with src/dst int
+    arrays (+ optional ``labels``), or the standard Planetoid pickle files
+    ``ind.{name}.graph`` / ``ind.{name}.ally`` / ``ind.{name}.ty`` /
+    ``ind.{name}.test.index`` as distributed with the GCN codebase.
+    Returns (CSRGraph symmetrized, labels or None).
+    """
+    name = name.lower()
+    cache = os.path.join(root, f"{name}_edges.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as data:
+            g = CSRGraph.from_edges(data["src"], data["dst"],
+                                    num_nodes=(int(data["num_nodes"])
+                                               if "num_nodes" in data
+                                               else None),
+                                    symmetrize=True)
+            labels = data["labels"] if "labels" in data else None
+        return g, labels
+    graph_path = os.path.join(root, f"ind.{name}.graph")
+    if os.path.exists(graph_path):
+        import pickle
+
+        with open(graph_path, "rb") as f:
+            adj = pickle.load(f, encoding="latin1")  # {node: [nbrs]}
+        src = np.concatenate([np.full(len(v), k, np.int64)
+                              for k, v in adj.items()]) if adj else np.zeros(0)
+        dst = np.concatenate([np.asarray(v, np.int64)
+                              for v in adj.values()]) if adj else np.zeros(0)
+        n = int(max(src.max(), dst.max())) + 1 if src.size else 0
+        g = CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
+        labels = None
+        ally = os.path.join(root, f"ind.{name}.ally")
+        ty = os.path.join(root, f"ind.{name}.ty")
+        tidx = os.path.join(root, f"ind.{name}.test.index")
+        if all(os.path.exists(p) for p in (ally, ty, tidx)):
+            import pickle
+
+            with open(ally, "rb") as f:
+                y_all = pickle.load(f, encoding="latin1")
+            with open(ty, "rb") as f:
+                y_test = pickle.load(f, encoding="latin1")
+            test_index = np.loadtxt(tidx, dtype=np.int64)
+            labels = np.full(n, -1, np.int64)
+            labels[: y_all.shape[0]] = np.asarray(y_all).argmax(1)
+            order = np.sort(test_index)
+            labels[order] = np.asarray(y_test)[np.argsort(test_index)].argmax(1)
+        return g, labels
+    raise FileNotFoundError(
+        f"no planetoid data for '{name}' under {root}: provide {cache} "
+        f"(src/dst[/labels]) or the ind.{name}.* pickle files")
+
+
+def synthetic_sbm(num_nodes: int, num_blocks: int, avg_degree: float,
+                  assortativity: float = 0.9, seed: int = 0):
+    """Stochastic-block-model benchmark graph with ground-truth communities.
+
+    The stand-in for Cora/Citeseer-class quality runs when real downloads
+    are unavailable: node2vec embeddings must separate the blocks (node
+    classification) and score held-out edges above chance (link prediction).
+    Returns (CSRGraph, labels, undirected_edges (E, 2)).
+    """
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_blocks, num_nodes)
+    target_edges = int(num_nodes * avg_degree / 2)
+    p_in_share = assortativity
+    n_in = int(target_edges * p_in_share)
+    n_out = target_edges - n_in
+    # In-block edges: pick a block proportionally to its size, two members.
+    by_block = [np.where(labels == b)[0] for b in range(num_blocks)]
+    sizes = np.array([len(b) for b in by_block])
+    probs = sizes / sizes.sum()
+    blocks = rng.choice(num_blocks, n_in, p=probs)
+    src_in = np.empty(n_in, np.int64)
+    dst_in = np.empty(n_in, np.int64)
+    for b in range(num_blocks):
+        m = blocks == b
+        k = int(m.sum())
+        if k and sizes[b] >= 2:
+            src_in[m] = rng.choice(by_block[b], k)
+            dst_in[m] = rng.choice(by_block[b], k)
+        else:
+            src_in[m] = rng.integers(0, num_nodes, k)
+            dst_in[m] = rng.integers(0, num_nodes, k)
+    src_out = rng.integers(0, num_nodes, n_out)
+    dst_out = rng.integers(0, num_nodes, n_out)
+    src = np.concatenate([src_in, src_out])
+    dst = np.concatenate([dst_in, dst_out])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = np.stack([src, dst], axis=1)
+    g = CSRGraph.from_edges(src, dst, num_nodes=num_nodes, symmetrize=True)
+    return g, labels, edges
+
+
 def synthetic_power_law(num_nodes: int, avg_degree: int,
                         seed: int = 0) -> CSRGraph:
     """Synthetic graph with a heavy-tailed in-degree (hub) distribution —

@@ -34,6 +34,7 @@ class Node2VecConfig:
     q: float = 1.0
     learning_rate: float = 1e-2
     seed: int = 0
+    dtype: str = "float32"  # "bfloat16" halves table HBM for ogbn-scale runs
 
 
 class Node2Vec:
@@ -45,6 +46,7 @@ class Node2Vec:
         self.model = SkipGramModel(
             graph.num_nodes, config.dim,
             optimizer=optax.adam(config.learning_rate),
+            dtype=jnp.dtype(config.dtype),
         )
 
     def init(self):
@@ -55,7 +57,7 @@ class Node2Vec:
 
     @partial(jax.jit, static_argnums=0)
     def _fat_step(self, params, opt_state, targets, epoch, edge_tab,
-                  node_tab, hash_table):
+                  node_tab, hash_table, fat6=None):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         from torch_random_walk_tpu.ops import fatwalk
@@ -70,7 +72,8 @@ class Node2Vec:
             walks = fatwalk.node2vec_walk_fat(edge_tab, node_tab, hash_table,
                                               targets, meta, es.log_size,
                                               es.salt, cfg.p, cfg.q,
-                                              cfg.walk_length, seed)
+                                              cfg.walk_length, seed,
+                                              fat6=fat6)
         tgt, pos, neg = to_windows(walks, cfg.window_size,
                                    self.graph.num_nodes, seed)
         return self.model.train_step(params, opt_state, tgt, pos, neg)
@@ -100,15 +103,20 @@ class Node2Vec:
         g = self.graph
         cfg = self.config
         if g.edge_tab is not None:
+            bt = None
             if cfg.p == 1.0 and cfg.q == 1.0:
                 ht = g.edge_tab[:1]  # placeholder; unused on the uniform path
             else:
-                from torch_random_walk_tpu.ops.walk import edge_set_for
+                from torch_random_walk_tpu.ops import fatwalk
+                from torch_random_walk_tpu.ops.walk import edge_set_for, fat6_for
 
                 self._edge_set = edge_set_for(g)
                 ht = self._edge_set.table
+                nw = int(targets.shape[0])
+                if fatwalk.rejection_branch(cfg.p, cfg.q, nw, True) == "bloom":
+                    bt = fat6_for(g)
             return self._fat_step(params, opt_state, targets, epoch,
-                                  g.edge_tab, g.node_tab, ht)
+                                  g.edge_tab, g.node_tab, ht, bt)
         return self._jnp_step(params, opt_state, targets, epoch, g.row_ptr,
                               g.col_idx)
 
