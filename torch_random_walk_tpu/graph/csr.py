@@ -193,5 +193,13 @@ def to_csr(graph):
 
 def nodes_tensor(graph):
     """Reference-parity helper (torch_rw/utils.py:11): node indices 0..N-1
-    in insertion order — O(N) instead of the reference's O(N^2) loop."""
+    in insertion order — O(N) instead of the reference's O(N^2) loop.
+
+    Semantics proof: the reference computes ``nodes.index(node)`` for each
+    ``node`` in ``nodes = list(graph.nodes())`` (torch_rw/utils.py:12-15).
+    Because graph nodes are unique, each node's first occurrence is its own
+    position, so the result is always ``arange(len(nodes))`` regardless of
+    the graph's insertion order.  Pinned by
+    ``tests/test_graph.py::test_nodes_tensor_matches_reference_law``.
+    """
     return jnp.arange(len(graph.nodes()), dtype=jnp.int32)
