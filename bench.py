@@ -59,8 +59,117 @@ def time_fn(fn, *args, warmup=2, iters=5):
     return StepTimer().time(fn, *args, warmup=warmup, iters=iters)
 
 
+def run_scaling(args):
+    """Multi-device scaling mode: the owner-routed partitioned engines
+    (parallel/partition_v2.py) timed at 1, 2, 4, ... D devices on the same
+    graph, with scaling efficiency and exchange traffic recorded per point.
+
+    On the one attached TPU chip this degenerates to D=1 (still useful: it
+    measures the partitioned engine's overhead vs the fat single-chip path).
+    The multi-device curve runs on the virtual CPU mesh:
+
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \\
+        python bench.py --mode scaling --metrics-out scaling.jsonl
+
+    Virtual devices share one host's cores, so the CPU-mesh efficiency
+    column is a collective/routing *overhead* sanity curve, not real chip
+    scaling; exchange_bytes/step and collectives/step are
+    hardware-independent and are the contract the real pod inherits.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from torch_random_walk_tpu.graph.datasets import synthetic_power_law
+    from torch_random_walk_tpu.parallel.mesh import make_mesh
+    from torch_random_walk_tpu.parallel.partition import (
+        PartitionedCSR,
+        build_partition_hashes,
+    )
+    from torch_random_walk_tpu.parallel.partition_v2 import (
+        build_partition_blooms,
+        walk_partitioned_node2vec_routed,
+        walk_partitioned_routed,
+    )
+    from torch_random_walk_tpu.utils.logging import MetricsWriter
+
+    devices = jax.devices()
+    platform = devices[0].platform
+    on_tpu = platform == "tpu"
+    num_nodes = args.nodes or (500_000 if on_tpu else 20_000)
+    graph = synthetic_power_law(num_nodes, args.degree, 0)
+    num_walkers = args.walkers or (32_768 if on_tpu else 2_048)
+    walk_length = args.walk_length
+    steps = num_walkers * walk_length
+    metrics = MetricsWriter(args.metrics_out or None)
+
+    counts = [d for d in (1, 2, 4, 8, 16, 32, 64) if d <= len(devices)]
+    curve = {}
+    for d in counts:
+        mesh = make_mesh(devices=devices[:d])
+        pg = PartitionedCSR.from_csr(graph, d)
+        hashes = build_partition_hashes(pg, graph)
+        blooms = build_partition_blooms(pg, graph)
+        targets = jnp.arange(num_walkers, dtype=jnp.int32) % num_nodes
+
+        dt_u = time_fn(
+            lambda t: walk_partitioned_routed(pg, t, mesh, walk_length,
+                                              seed=7)[0],
+            targets, warmup=1, iters=args.iters)
+        _, info_u = walk_partitioned_routed(pg, targets, mesh, walk_length,
+                                            seed=7)
+        dt_b = time_fn(
+            lambda t: walk_partitioned_node2vec_routed(
+                pg, hashes, t, mesh, 0.5, 2.0, walk_length, seed=7,
+                blooms=blooms)[0],
+            targets, warmup=1, iters=args.iters)
+        _, info_b = walk_partitioned_node2vec_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, walk_length, seed=7,
+            blooms=blooms)
+
+        point = {
+            "devices": d,
+            "uniform_steps_per_sec": round(steps / dt_u, 1),
+            "node2vec_steps_per_sec": round(steps / dt_b, 1),
+            "uniform_exchange_bytes_per_step": round(
+                info_u["exchange_bytes"] / steps, 2),
+            "node2vec_exchange_bytes_per_step": round(
+                info_b["exchange_bytes"] / steps, 2),
+            "node2vec_collectives_per_step": info_b["collectives_per_step"],
+            "overflow_dropped": info_u["overflow_dropped"]
+            + info_b["overflow_dropped"],
+        }
+        if 1 in curve:
+            point["uniform_scaling_efficiency"] = round(
+                point["uniform_steps_per_sec"]
+                / (d * curve[1]["uniform_steps_per_sec"]), 3)
+            point["node2vec_scaling_efficiency"] = round(
+                point["node2vec_steps_per_sec"]
+                / (d * curve[1]["node2vec_steps_per_sec"]), 3)
+        curve[d] = point
+        metrics.emit(mode="scaling", platform=platform,
+                     num_nodes=num_nodes, num_walkers=num_walkers,
+                     walk_length=walk_length, **point)
+
+    top = curve[counts[-1]]
+    print(json.dumps({
+        "metric": "routed_node2vec_node_steps_per_sec",
+        "value": top["node2vec_steps_per_sec"],
+        "unit": "node-steps/s",
+        "vs_baseline": 1.0,
+        "platform": platform,
+        "num_nodes": num_nodes,
+        "num_walkers": num_walkers,
+        "walk_length": walk_length,
+        "scaling_curve": list(curve.values()),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--mode", type=str, default="single",
+                        choices=["single", "scaling"],
+                        help="single = one-chip fat-engine bench (default); "
+                        "scaling = partitioned-engine multi-device curve")
     parser.add_argument("--dataset", type=str, default="synthetic",
                         choices=["synthetic", "ogbn-products"])
     parser.add_argument("--data-root", type=str, default="dataset")
@@ -71,7 +180,23 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--train-dim", type=int, default=128)
     parser.add_argument("--profile-dir", type=str, default="")
+    parser.add_argument("--metrics-out", type=str, default="",
+                        help="JSONL sink for per-point scaling metrics")
     args = parser.parse_args()
+
+    # The ambient tunnel environment force-registers its TPU plugin and
+    # overrides JAX_PLATFORMS at import time (see tests/conftest.py); honor
+    # an explicitly exported JAX_PLATFORMS so the documented CPU-mesh
+    # scaling invocation works.
+    want_platform = os.environ.get("JAX_PLATFORMS", "")
+    if want_platform and "axon" not in want_platform:
+        import jax
+
+        jax.config.update("jax_platforms", want_platform)
+
+    if args.mode == "scaling":
+        run_scaling(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -73,13 +73,16 @@ def run_variant(name, graph, es, targets, args):
         from torch_random_walk_tpu.ops.walk import fat6_for
 
         ft = fat6_for(graph)
+        fr_kw = dict(rounds_per_block=args.rpb, round_unroll=args.runroll,
+                     slack=args.slack)
 
-        def run_b(edge_tab, node_tab, table, e6, n6, tt):
-            return fatwalk.node2vec_walk_fat(edge_tab, node_tab, table, tt,
-                                             fat6=(e6, n6), **kw)
+        def run_b(e6, n6, table, tt):
+            return fatwalk._node2vec_freerun(
+                e6, n6, table, tt, meta, es.log_size, es.salt, p, q, L,
+                seed=7, **fr_kw)
 
-        return timed(jax.jit(run_b), graph.edge_tab, graph.node_tab,
-                     es.table, ft[0], ft[1], targets, iters=args.iters)
+        return timed(jax.jit(run_b), ft[0], ft[1], es.table, targets,
+                     iters=args.iters)
     if name == "uniform":
         def run_u(edge_tab, node_tab, t):
             return fatwalk.uniform_walk_fat(edge_tab, node_tab, t, meta, L, 7)
@@ -110,6 +113,12 @@ def main():
     ap.add_argument("--p", type=float, default=0.5)
     ap.add_argument("--q", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--rpb", type=int, default=6,
+                    help="freerun rounds_per_block (bloom variant)")
+    ap.add_argument("--runroll", type=int, default=3,
+                    help="freerun round_unroll (bloom variant)")
+    ap.add_argument("--slack", type=float, default=1.05,
+                    help="freerun scan-length slack (bloom variant)")
     ap.add_argument("--variant", type=str, default="all")
     ap.add_argument("--trace", type=str, default="")
     args = ap.parse_args()

@@ -74,6 +74,28 @@ class TestRoutedUniform:
         assert info["phases"] > 9  # provably lagged
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
 
+    def test_truncated_run_raises(self, mesh):
+        """max_phases too small to finish => loud RuntimeError, never a
+        silently short walk tensor."""
+        g = random_graph(1000, 5, seed=42)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        cfg = RoutedConfig(pair_capacity=16, log_capacity=8192,
+                           max_phases=4, carry_capacity=512)
+        with pytest.raises(RuntimeError, match="routed walk incomplete"):
+            walk_partitioned_routed(pg, targets, mesh, 8, seed=3, config=cfg)
+
+    def test_default_config_zero_drop_under_skew(self, mesh):
+        """The auto RoutedConfig must never drop records even when every
+        walker starts on one shard (carry >= B guarantee)."""
+        g = random_graph(1000, 5, seed=47)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.zeros(1024, jnp.int32)
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 10, seed=2)
+        walks, info = walk_partitioned_routed(pg, targets, mesh, 10, seed=2)
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
     def test_skewed_targets_single_owner(self, mesh):
         """All walkers start on one shard (worst-case arrival hot spot)."""
         g = random_graph(1600, 6, seed=43)

@@ -41,6 +41,7 @@ re-created as a distributed owner-routed sampler.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import numpy as np
@@ -83,13 +84,24 @@ class RoutedConfig:
     @classmethod
     def for_walk(cls, num_walkers: int, num_shards: int, walk_length: int,
                  balance: float = 4.0) -> "RoutedConfig":
+        """Zero-drop default: at most B records are ever in flight (the
+        departure lanes per arrival are mutually exclusive), so
+        ``cap + carry >= B`` per destination guarantees overflow can never
+        fire, whatever the hub skew.  pair_capacity stays ~balance*B/D^2
+        (the all_to_all payload); the skew tail queues in the carry buffer
+        and lags phases instead of dropping."""
         pair = int(balance * max(num_walkers // max(num_shards ** 2, 1), 1))
         pair = max((pair + 127) // 128 * 128, 128)
         log = int(balance * num_walkers * (walk_length + 1)
                   // max(num_shards, 1))
         log = max((log + 127) // 128 * 128, 256)
+        # max_phases only bounds the while_loop (it exits on inflight == 0
+        # first), so cover worst-case carry queueing — a fully skewed step
+        # drains one hot destination at pair_capacity records/phase.
+        drain = (num_walkers + pair - 1) // pair
         return cls(pair_capacity=pair, log_capacity=log,
-                   max_phases=4 * (walk_length + 2))
+                   max_phases=(walk_length + 2) * max(4, drain),
+                   carry_capacity=max(num_walkers - pair, pair))
 
 
 def _compact_idx(mask, capacity: int):
@@ -134,6 +146,20 @@ def _build_outbox(recs, dests, valid, carry, carry_valid, nshards, cap, ccap):
     return outbox, carry_buf, carry_buf[:, :, 0] != _SENTINEL, overflow
 
 
+def _check_complete(info, num_walkers: int, walk_length: int,
+                    cfg: "RoutedConfig") -> None:
+    """A dropped record or a truncated phase loop silently corrupts walks;
+    fail loudly instead (every walker must log exactly L+1 positions)."""
+    expected = num_walkers * (walk_length + 1)
+    if info["overflow_dropped"] or info["log_entries"] != expected:
+        raise RuntimeError(
+            f"routed walk incomplete: {info['overflow_dropped']} records "
+            f"dropped, {info['log_entries']}/{expected} positions logged "
+            f"after {info['phases']} phases — raise RoutedConfig capacities "
+            f"(pair_capacity={cfg.pair_capacity}, carry={cfg.carry}, "
+            f"log_capacity={cfg.log_capacity}, max_phases={cfg.max_phases})")
+
+
 def _empty_carry(nshards, ccap, width):
     carry = jnp.zeros((nshards, ccap, width), jnp.uint32)
     return carry.at[:, :, 0].set(_SENTINEL), jnp.zeros((nshards, ccap), bool)
@@ -155,34 +181,19 @@ def _make_a2a(exchange: str, axis: str, nshards: int, interpret: bool):
                                     tiled=False)
 
 
-def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
-                            walk_length: int, seed: int = 0,
-                            axis: str = "data",
-                            config: RoutedConfig | None = None,
-                            exchange: str = "xla",
-                            exchange_interpret: bool = False):
-    """Uniform CSR walks with owner-routed walker exchange.
+@functools.lru_cache(maxsize=64)
+def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
+                        shard_nodes: int, num_walkers: int, walk_length: int,
+                        seed: int, cap: int, ccap: int, log_cap: int,
+                        max_phases: int, exchange: str,
+                        exchange_interpret: bool):
+    """Build (and cache) the jitted shard_map for one routed-walk shape.
 
-    Returns (walks (B, L+1) int32, stats dict).  Bit-identical to
-    ops.uniform.uniform_walk_csr / ops.fatwalk.uniform_walk_fat.
-    """
-    num_walkers = int(target_nodes.shape[0])
-    nshards = pgraph.num_shards
-    if num_walkers % nshards:
-        raise ValueError(
-            f"num_walkers ({num_walkers}) must be divisible by the shard "
-            f"count ({nshards}); pad the target batch.")
-    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
-    shard_nodes = pgraph.shard_nodes
+    Everything that shapes the HLO is in the cache key, so repeated
+    epochs/bench iterations reuse the compiled executable instead of
+    retracing the phase while_loop each call."""
     key = prng.derive_key(seed, prng.STREAM_CSR_UNIFORM)
-    cap = cfg.pair_capacity
-    ccap = cfg.carry
-    log_cap = cfg.log_capacity
     sentinel = jnp.uint32(0xFFFFFFFF)
-
-    meta_sh, col_sh = pgraph.device_put(mesh, axis)
-    targets = jax.device_put(
-        jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
 
     def shard_fn(meta, col, tgt_local):
         meta = meta[0]          # (S, 2) [start, deg] local rows
@@ -261,7 +272,7 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         def cond(state):
             inflight = state[5]
             phases = state[7]
-            return jnp.logical_and(inflight > 0, phases < cfg.max_phases)
+            return jnp.logical_and(inflight > 0, phases < max_phases)
 
         init_inflight = lax.psum(
             jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
@@ -282,7 +293,7 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         stats = jnp.stack([log_n, sent_recs, phases, overflow])
         return log[None, :log_cap], stats[None]
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -293,6 +304,34 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
             check_vma=(exchange != "pallas"),
         )
     )
+
+
+def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
+                            walk_length: int, seed: int = 0,
+                            axis: str = "data",
+                            config: RoutedConfig | None = None,
+                            exchange: str = "xla",
+                            exchange_interpret: bool = False):
+    """Uniform CSR walks with owner-routed walker exchange.
+
+    Returns (walks (B, L+1) int32, stats dict).  Bit-identical to
+    ops.uniform.uniform_walk_csr / ops.fatwalk.uniform_walk_fat.
+    """
+    num_walkers = int(target_nodes.shape[0])
+    nshards = pgraph.num_shards
+    if num_walkers % nshards:
+        raise ValueError(
+            f"num_walkers ({num_walkers}) must be divisible by the shard "
+            f"count ({nshards}); pad the target batch.")
+    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    meta_sh, col_sh = pgraph.device_put(mesh, axis)
+    targets = jax.device_put(
+        jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
+    fn = _routed_uniform_jit(mesh, axis, nshards, pgraph.shard_nodes,
+                             num_walkers, walk_length, int(seed),
+                             cfg.pair_capacity, cfg.carry, cfg.log_capacity,
+                             cfg.max_phases, exchange,
+                             bool(exchange_interpret))
     logs, stats = fn(meta_sh, col_sh, targets)
 
     walks = _assemble(logs, num_walkers, walk_length)
@@ -304,6 +343,7 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         "overflow_dropped": int(stats[:, 3].sum()),
         "exchange_bytes": int(stats[:, 1].sum()) * _R_UNIFORM * 4,
     }
+    _check_complete(info, num_walkers, walk_length, cfg)
     return walks, info
 
 
@@ -371,9 +411,6 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
 
     ``hashes`` = parallel.partition.build_partition_hashes(pgraph, graph).
     """
-    from torch_random_walk_tpu.graph.hashset import _hash_jnp_traced
-    from torch_random_walk_tpu.ops import common
-
     num_walkers = int(target_nodes.shape[0])
     nshards = pgraph.num_shards
     if num_walkers % nshards:
@@ -381,13 +418,6 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
             f"num_walkers ({num_walkers}) must be divisible by the shard "
             f"count ({nshards}); pad the target batch.")
     cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
-    shard_nodes = pgraph.shard_nodes
-    key = prng.derive_key(seed, prng.STREAM_CSR_BIASED)
-    prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
-    lo_acc = min(prob_1, prob_2)
-    hi_acc = max(prob_1, prob_2)
-    cap, ccap, log_cap = cfg.pair_capacity, cfg.carry, cfg.log_capacity
-    sentinel = _SENTINEL
     hash_tables, hash_salts, hash_log = hashes
 
     if blooms is None:
@@ -403,6 +433,44 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
     salts_sh = jax.device_put(hash_salts, sharding)
     bloom_sh = jax.device_put(blooms, sharding)
     targets = jax.device_put(jnp.asarray(target_nodes, jnp.int32), sharding)
+
+    fn = _routed_n2v_jit(mesh, axis, nshards, pgraph.shard_nodes,
+                         num_walkers, walk_length, int(seed), float(p),
+                         float(q), int(spec_rounds), int(hash_log),
+                         cfg.pair_capacity, cfg.carry, cfg.log_capacity,
+                         cfg.max_phases, exchange, bool(exchange_interpret))
+    logs, stats = fn(meta_sh, col_sh, ht_sh, salts_sh, bloom_sh, targets)
+    walks = _assemble(logs, num_walkers, walk_length)
+    stats = np.asarray(stats)
+    info = {
+        "log_entries": int(stats[:, 0].sum()),
+        "exchanged_records": int(stats[:, 1].sum()),
+        "phases": int(stats[:, 2].max()),
+        "overflow_dropped": int(stats[:, 3].sum()),
+        "exchange_bytes": int(stats[:, 1].sum()) * _R_N2V * 4,
+        "collectives_per_step": round(
+            int(stats[:, 2].max()) / max(walk_length, 1), 2),
+    }
+    _check_complete(info, num_walkers, walk_length, cfg)
+    return walks, info
+
+
+@functools.lru_cache(maxsize=64)
+def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
+                    num_walkers: int, walk_length: int, seed: int, p: float,
+                    q: float, spec_rounds: int, hash_log: int, cap: int,
+                    ccap: int, log_cap: int, max_phases: int, exchange: str,
+                    exchange_interpret: bool):
+    """Cached jitted shard_map builder for the routed node2vec engine (same
+    rationale as _routed_uniform_jit: no retrace across epochs/iters)."""
+    from torch_random_walk_tpu.graph.hashset import _hash_jnp_traced
+    from torch_random_walk_tpu.ops import common
+
+    key = prng.derive_key(seed, prng.STREAM_CSR_BIASED)
+    prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
+    lo_acc = min(prob_1, prob_2)
+    hi_acc = max(prob_1, prob_2)
+    sentinel = _SENTINEL
 
     def shard_fn(meta, col, ht, salt, bloom, tgt_local):
         meta = meta[0]
@@ -627,7 +695,7 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
                     sent_recs + sent, phases + 1, overflow + ovf)
 
         def cond(state):
-            return jnp.logical_and(state[5] > 0, state[7] < cfg.max_phases)
+            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
 
         def varying(x):
             if exchange == "pallas":
@@ -645,7 +713,7 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
         stats = jnp.stack([log_n, sent_recs, phases, overflow])
         return log[None, :log_cap], stats[None]
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -654,19 +722,6 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
             check_vma=(exchange != "pallas"),
         )
     )
-    logs, stats = fn(meta_sh, col_sh, ht_sh, salts_sh, bloom_sh, targets)
-    walks = _assemble(logs, num_walkers, walk_length)
-    stats = np.asarray(stats)
-    info = {
-        "log_entries": int(stats[:, 0].sum()),
-        "exchanged_records": int(stats[:, 1].sum()),
-        "phases": int(stats[:, 2].max()),
-        "overflow_dropped": int(stats[:, 3].sum()),
-        "exchange_bytes": int(stats[:, 1].sum()) * _R_N2V * 4,
-        "collectives_per_step": round(
-            int(stats[:, 2].max()) / max(walk_length, 1), 2),
-    }
-    return walks, info
 
 
 @partial(jax.jit, static_argnames=("num_walkers", "walk_length"))
