@@ -113,7 +113,7 @@ def main():
     ap.add_argument("--p", type=float, default=0.5)
     ap.add_argument("--q", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--rpb", type=int, default=6,
+    ap.add_argument("--rpb", type=int, default=3,
                     help="freerun rounds_per_block (bloom variant)")
     ap.add_argument("--runroll", type=int, default=3,
                     help="freerun round_unroll (bloom variant)")

@@ -213,7 +213,7 @@ def _mixture_consts(p: float, q: float, deg_bits: int) -> tuple:
 def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                       hash_log_size, hash_salt, p, q, walk_length, seed,
                       walker_offset=0, max_rounds=common.DEFAULT_MAX_ROUNDS,
-                      rounds_per_block=6, slack=1.05, round_unroll=3,
+                      rounds_per_block=3, slack=1.05, round_unroll=3,
                       sampler="mixture"):
     """Free-running biased rounds — the production CSR node2vec engine.
 
@@ -231,7 +231,11 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
       percent); such lanes freeze (stall, redrawing deterministically).
     - **Amortized exact pass** every ``rounds_per_block`` rounds: frozen
       lanes compact once, replay their frozen round through the cuckoo
-      set, and resume — the only compaction in the engine.
+      set, and resume — the only compaction in the engine.  Measured sweep
+      (BENCHLOG.md r2, 2M/36M/B=128K, p=.5 q=2): SHORT blocks win —
+      rpb=3/unroll=3 12.76M steps/s vs 9.68M at the old rpb=6/unroll=3
+      (frozen lanes resume sooner, so lane utilization dominates the extra
+      pass fixed cost); rpb=12 degrades to 7.75M.
     - **sampler="mixture"**: the composition-envelope draw
       (_mixture_consts) — exact node2vec law at roughly HALF the mean
       rounds of flat rejection.  sampler="rejection" reproduces the jnp
