@@ -94,7 +94,10 @@ def run_small(name: str, data_root: str, seed: int = 0):
         "dataset": dataset,
         "nodes": graph.num_nodes,
         "edges": graph.num_edges,
-        "config": "node2vec p=0.5 q=2.0 dim=128 L=40 W=5 x8walks 150ep",
+        "config": ("node2vec p=0.5 q=2.0 dim=128 L=40 W=5 x8walks 150ep "
+                   f"{cfg.train_mode}"
+                   + (f" S={cfg.shared_negatives}"
+                      if cfg.train_mode == "block" else "")),
         "link_pred_auc": round(float(auc), 4),
         "classification_acc": (round(float(acc), 4)
                                if acc is not None else None),
@@ -161,7 +164,9 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
         "nodes": graph.num_nodes,
         "edges": graph.num_edges,
         "config": (f"deepwalk dim=128 L=20 W=5 {epochs}ep batch={batch} "
-                   f"bf16 table"),
+                   f"bf16 table {cfg.train_mode}"
+                   + (f" S={cfg.shared_negatives}"
+                      if cfg.train_mode == "block" else "")),
         "link_pred_auc": round(float(auc), 4),
         "final_loss": round(float(loss), 4),
         "train_sec": round(train_sec, 1),

@@ -68,6 +68,44 @@ def test_node2vec_pipeline_learns_communities():
     assert intra > inter + 0.1, f"communities not separated: {intra} vs {inter}"
 
 
+def test_walk_loss_matches_windows_loss_on_positives():
+    """walk_loss_fn (blockwise) covers the IDENTICAL (target, context)
+    pairs as to_windows + loss_fn: with the negative term neutralized on
+    both sides, the losses are equal.  Windows-side negatives all point at
+    a zeroed out_emb row, contributing exactly (W-1)*log(2) per window."""
+    import jax
+
+    csr = barbell_graph()
+    n, d, w = csr.num_nodes, 8, 5
+    k = jax.random.key(3)
+    params = {
+        "in_emb": jax.random.normal(jax.random.fold_in(k, 0), (n, d)),
+        "out_emb": jax.random.normal(jax.random.fold_in(k, 1), (n, d))
+        .at[0].set(0.0),
+    }
+    walks = trw.walk(csr, target_nodes=jnp.arange(n, dtype=jnp.int32),
+                     walk_length=10, seed=4)
+    tgt, pos, _ = to_windows(walks, w, n, seed=4)
+    neg = jnp.zeros_like(pos)  # all hit the zeroed row: logit 0
+    win_loss = float(SkipGramModel.loss_fn(params, tgt, pos, neg))
+    blk_loss = float(SkipGramModel.walk_loss_fn(
+        params, walks, jnp.zeros((1,), jnp.int32), w, num_neg=0))
+    np.testing.assert_allclose(win_loss - (w - 1) * np.log(2.0), blk_loss,
+                               rtol=1e-5)
+
+
+def test_windows_train_mode_learns_communities():
+    """The reference-shaped pipeline (materialized windows, per-window
+    negatives) stays available and still learns after 'block' became the
+    default."""
+    csr = barbell_graph()
+    cfg = Node2VecConfig(dim=16, walk_length=10, window_size=5,
+                         learning_rate=5e-2, seed=0, train_mode="windows")
+    n2v = Node2Vec(csr, cfg)
+    params, losses = n2v.train(num_epochs=40)
+    assert losses[-1] < losses[0]
+
+
 def test_biased_pipeline_runs():
     csr = barbell_graph()
     cfg = Node2VecConfig(dim=8, walk_length=8, window_size=3, p=0.5, q=2.0,

@@ -40,6 +40,47 @@ def test_sharded_step_runs_and_learns():
     assert losses[-1] < losses[0]
 
 
+def test_sharded_block_2d_mesh_matches_single_device():
+    """Blockwise loss under dp x mp: feature-sharded table gathers stay
+    chip-local, the contraction psums over 'model', and the first-step loss
+    equals the unsharded blockwise trainer's."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    g = toy_graph()
+    cfg_s = ShardedNode2VecConfig(dim=16, walk_length=6, window_size=3,
+                                  seed=5, train_mode="block")
+    trainer = ShardedNode2Vec(g, mesh, cfg_s)
+    p_s, o_s = trainer.init()
+    targets = np.arange(32, dtype=np.int32) % g.num_nodes
+    _, _, loss_sharded = trainer.train_step(p_s, o_s, targets, epoch=0)
+
+    n2v = Node2Vec(g, Node2VecConfig(dim=16, walk_length=6, window_size=3,
+                                     seed=5, train_mode="block"))
+    p1, o1 = n2v.init()
+    _, _, loss_single = n2v.epoch_step(
+        p1, o1, jnp.asarray(targets), jnp.uint32(0))
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+
+
+def test_sharded_windows_mode_still_learns():
+    """The reference-shaped materialized-windows pipeline stays available
+    under the mesh after 'block' became the default."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    g = toy_graph()
+    cfg = ShardedNode2VecConfig(dim=16, walk_length=8, window_size=3,
+                                learning_rate=5e-2, train_mode="windows")
+    trainer = ShardedNode2Vec(g, mesh, cfg)
+    params, opt_state = trainer.init()
+    targets = np.arange(64, dtype=np.int32) % g.num_nodes
+    losses = []
+    for epoch in range(8):
+        params, opt_state, loss = trainer.train_step(params, opt_state,
+                                                     targets, epoch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_sharded_matches_single_device_loss():
     """First-step loss must equal the unsharded fused trainer's (same seeds,
     same walk engine, SPMD is numerics-preserving for this graph size)."""

@@ -35,6 +35,15 @@ class Node2VecConfig:
     learning_rate: float = 1e-2
     seed: int = 0
     dtype: str = "float32"  # "bfloat16" halves table HBM for ogbn-scale runs
+    # "block" = blockwise SGNS on whole walks with batch-shared negatives
+    # (SkipGramModel.walk_train_step — the fast TPU-native layout);
+    # "windows" = materialized to_windows batches with per-window negatives
+    # (exact reference-shaped pipeline).  Same positive pairs either way.
+    train_mode: str = "block"
+    # S per step in "block" mode.  The (B, C, S) neg-logit intermediates are
+    # pure HBM elementwise traffic: S=1024 costs ~24ms/step more than S=256
+    # at the bench shape for no measurable quality gain (QUALITY.md).
+    shared_negatives: int = 256
 
 
 class Node2Vec:
@@ -74,9 +83,24 @@ class Node2Vec:
                                               es.salt, cfg.p, cfg.q,
                                               cfg.walk_length, seed,
                                               fat6=fat6)
+        return self._train(params, opt_state, walks, seed)
+
+    def _train(self, params, opt_state, walks, seed):
+        cfg = self.config
+        if cfg.train_mode == "block":
+            neg_ids = self._shared_negatives(seed)
+            return self.model.walk_train_step(params, opt_state, walks,
+                                              neg_ids, cfg.window_size,
+                                              cfg.window_size - 1)
         tgt, pos, neg = to_windows(walks, cfg.window_size,
                                    self.graph.num_nodes, seed)
         return self.model.train_step(params, opt_state, tgt, pos, neg)
+
+    def _shared_negatives(self, seed):
+        from torch_random_walk_tpu.models.skipgram import shared_negative_ids
+
+        return shared_negative_ids(seed, self.config.shared_negatives,
+                                   self.graph.num_nodes)
 
     @partial(jax.jit, static_argnums=0)
     def _jnp_step(self, params, opt_state, targets, epoch, row_ptr, col_idx):
@@ -89,9 +113,7 @@ class Node2Vec:
             walks = node2vec_walk_csr(row_ptr, col_idx, targets, cfg.p,
                                       cfg.q, cfg.walk_length, seed,
                                       search_iters=self.graph.search_iters)
-        tgt, pos, neg = to_windows(walks, cfg.window_size,
-                                   self.graph.num_nodes, seed)
-        return self.model.train_step(params, opt_state, tgt, pos, neg)
+        return self._train(params, opt_state, walks, seed)
 
     def epoch_step(self, params, opt_state, targets, epoch):
         """One fused sample+train step over a batch of start nodes.

@@ -22,6 +22,18 @@ import jax.numpy as jnp
 import optax
 
 
+def shared_negative_ids(seed, num: int, num_nodes: int):
+    """S uniform negative node ids from the (seed, STREAM_TRAIN) threefry
+    stream — full-range via multiply-high (valid past 2^24 ids), and a pure
+    function of ``seed`` so trainer runs stay deterministic."""
+    from torch_random_walk_tpu.utils import prng
+
+    key = prng.derive_key(seed, prng.STREAM_TRAIN)
+    ids = jnp.arange(num, dtype=jnp.uint32)
+    bits, _ = prng.counter_bits(key, ids, jnp.zeros_like(ids))
+    return prng.randint_from_bits(bits, num_nodes).astype(jnp.int32)
+
+
 class SkipGramModel:
     """Functional SGNS model; holds only static config, never parameters.
 
@@ -72,6 +84,63 @@ class SkipGramModel:
     @partial(jax.jit, static_argnums=0)
     def train_step(self, params, opt_state, targets, pos, neg):
         loss, grads = jax.value_and_grad(self.loss_fn)(params, targets, pos, neg)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @staticmethod
+    def walk_loss_fn(params, walks, neg_ids, window_size: int,
+                     num_neg: int):
+        """Blockwise SGNS over whole walks with batch-shared negatives.
+
+        Computes the SAME (target, positive-context) pairs as
+        ``ops.windows.to_windows`` + ``loss_fn`` — centers at walk positions
+        W//2 .. L-W//2, contexts at offsets ±1..±W//2 — but in the TPU-native
+        layout: each walk's rows are gathered ONCE ((B, L+1, D) instead of
+        the window-expanded (13+104 rows)/walk), pos logits are 2*(W//2)
+        shifted elementwise dot products (fused by XLA), and the
+        ``num_neg``-negatives-per-window term is estimated with ``S``
+        batch-shared uniform negatives (``neg_ids``) scaled by num_neg/S —
+        a dense (B*C, D)x(D, S) matmul whose gradient is a dense (S, D)
+        matrix, not 4 scattered rows per window.  Touched table rows drop
+        ~7x (the fused step is scatter/gather-row bound — BENCHLOG.md).
+
+        The negative TERM keeps the same expectation as the reference's
+        per-window uniform negatives (windows_cpu.cpp:67-71, no collision
+        check); only the estimator's variance differs.  Downstream quality
+        is validated in benchmarks/quality_run.py.
+        """
+        length1 = walks.shape[1]
+        hw = window_size // 2
+        in_rows = params["in_emb"][walks]        # (B, L+1, D)
+        out_rows = params["out_emb"][walks]      # (B, L+1, D)
+        u = in_rows[:, hw: length1 - hw]         # (B, C, D)
+        # Positive logits as 2*hw shifted elementwise dot products — only
+        # the needed (B, C) diagonals, never the (B, L+1, L+1) gram matrix
+        # (whose fp32 intermediate costs ~14% of the step at B=64K).
+        pos_ls = 0.0
+        for off in range(-hw, hw + 1):
+            if off == 0:
+                continue
+            hi = length1 - hw + off
+            v = out_rows[:, hw + off: hi if hi != 0 else None]  # (B, C, D)
+            logit = jnp.einsum("bcd,bcd->bc", u, v,
+                               preferred_element_type=jnp.float32)
+            pos_ls = pos_ls + jax.nn.log_sigmoid(logit)
+        v_neg = params["out_emb"][neg_ids]       # (S, D)
+        neg_logit = jnp.einsum("bcd,sd->bcs", u, v_neg,
+                               preferred_element_type=jnp.float32)
+        neg_w = num_neg / neg_ids.shape[0]
+        loss = -(pos_ls
+                 + neg_w * jax.nn.log_sigmoid(-neg_logit).sum(axis=-1))
+        return loss.mean()
+
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def walk_train_step(self, params, opt_state, walks, neg_ids,
+                        window_size: int, num_neg: int):
+        """Fused blockwise train step directly on (B, L+1) walk tensors."""
+        loss, grads = jax.value_and_grad(self.walk_loss_fn)(
+            params, walks, neg_ids, window_size, num_neg)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -45,6 +45,13 @@ class ShardedNode2VecConfig:
     seed: int = 0
     data_axis: str = "data"
     model_axis: str = "model"
+    # "block" = blockwise SGNS on whole walks with batch-shared negatives
+    # (models/skipgram.walk_loss_fn); "windows" = materialized to_windows
+    # batches with per-window negatives.  Same positive pairs either way;
+    # block is ~1.8x faster (BENCHLOG.md "Blockwise SGNS") and its dense
+    # (S, D) negative gradient shards cleanly on the feature axis.
+    train_mode: str = "block"
+    shared_negatives: int = 256
 
 
 class ShardedNode2Vec:
@@ -123,10 +130,21 @@ class ShardedNode2Vec:
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         walks = self._sample(targets, seed, g1, g2, g3)
-        tgt, pos, neg = to_windows(walks, cfg.window_size,
-                                   self.graph.num_nodes, seed)
-        loss, grads = jax.value_and_grad(self.model.loss_fn)(
-            params, tgt, pos, neg)
+        if cfg.train_mode == "block":
+            from torch_random_walk_tpu.models.skipgram import (
+                shared_negative_ids,
+            )
+
+            neg_ids = shared_negative_ids(seed, cfg.shared_negatives,
+                                          self.graph.num_nodes)
+            loss, grads = jax.value_and_grad(self.model.walk_loss_fn)(
+                params, walks, neg_ids, cfg.window_size,
+                cfg.window_size - 1)
+        else:
+            tgt, pos, neg = to_windows(walks, cfg.window_size,
+                                       self.graph.num_nodes, seed)
+            loss, grads = jax.value_and_grad(self.model.loss_fn)(
+                params, tgt, pos, neg)
         updates, opt_state = self.model.optimizer.update(
             grads, opt_state, params)
         params = optax.apply_updates(params, updates)
