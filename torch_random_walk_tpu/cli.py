@@ -79,11 +79,19 @@ def train_main(argv=None):
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default="")
+    ap.add_argument("--checkpoint-every", type=int, default=25)
+    ap.add_argument("--heartbeat", default="",
+                    help="liveness file for an external watchdog")
+    ap.add_argument("--max-retries", type=int, default=0,
+                    help="restore-and-replay retries on device faults")
     ap.add_argument("--metrics", default="", help="JSONL metrics path")
     args = ap.parse_args(argv)
 
     from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
-    from torch_random_walk_tpu.utils import checkpoint
+    from torch_random_walk_tpu.utils.elastic import (
+        ElasticConfig,
+        run_resumable,
+    )
     from torch_random_walk_tpu.utils.logging import MetricsWriter, get_logger
 
     log = get_logger("trw-train")
@@ -92,29 +100,33 @@ def train_main(argv=None):
                          window_size=args.window, p=args.p, q=args.q,
                          learning_rate=args.lr, seed=args.seed)
     n2v = Node2Vec(g, cfg)
-    params, opt_state = n2v.init()
-    start_epoch = 0
-    if args.checkpoint_dir:
-        restored, step = checkpoint.restore(
-            args.checkpoint_dir, {"params": params, "opt": opt_state})
-        if restored is not None:
-            params, opt_state = restored["params"], restored["opt"]
-            start_epoch = step
-            log.info("resumed from epoch %d", start_epoch)
     metrics = MetricsWriter(args.metrics or None)
+    import tempfile
+
     import jax.numpy as jnp
 
     targets = jnp.arange(g.num_nodes, dtype=jnp.int32)
-    for epoch in range(start_epoch, args.epochs):
+
+    def step_fn(state, epoch):
         params, opt_state, loss = n2v.epoch_step(
-            params, opt_state, targets, jnp.uint32(epoch))
+            state["params"], state["opt"], targets, jnp.uint32(epoch))
         metrics.emit(epoch=epoch, loss=float(loss))
         if epoch % 10 == 0:
             log.info("epoch %d loss %.4f", epoch, float(loss))
-        if args.checkpoint_dir and (epoch + 1) % 25 == 0:
-            checkpoint.save(args.checkpoint_dir,
-                            {"params": params, "opt": opt_state}, epoch + 1)
-    emb = np.asarray(n2v.embeddings(params))
+        return {"params": params, "opt": opt_state}
+
+    params, opt_state = n2v.init()
+    ckpt_dir = args.checkpoint_dir or tempfile.mkdtemp(prefix="trw_train_")
+    result = run_resumable(
+        step_fn, {"params": params, "opt": opt_state}, args.epochs,
+        ElasticConfig(ckpt_dir=ckpt_dir, every_steps=args.checkpoint_every,
+                      heartbeat_path=args.heartbeat or None,
+                      max_retries=args.max_retries,
+                      save_final=bool(args.checkpoint_dir)))
+    if result.preempted:
+        log.warning("preempted at epoch %d (checkpointed; rerun to resume)",
+                    result.steps_done)
+    emb = np.asarray(n2v.embeddings(result.state["params"]))
     np.save(args.out, emb)
     metrics.close()
     log.info("saved %s embeddings -> %s", emb.shape, args.out)
