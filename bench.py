@@ -34,6 +34,7 @@ OGBN_PRODUCTS_AVG_DEGREE = 50
 def build_graph(args, on_tpu: bool):
     from torch_random_walk_tpu.graph.datasets import (
         load_ogbn,
+        products_shape_graph,
         synthetic_power_law,
     )
 
@@ -42,8 +43,7 @@ def build_graph(args, on_tpu: bool):
             graph, _ = load_ogbn("ogbn-products", root=args.data_root)
             return graph, "ogbn-products"
         except ImportError:
-            graph = synthetic_power_law(OGBN_PRODUCTS_NODES,
-                                        OGBN_PRODUCTS_AVG_DEGREE, 0)
+            graph = products_shape_graph(args.data_root)
             return graph, "ogbn-products-shape-synthetic"
     num_nodes = args.nodes or (2_000_000 if on_tpu else 50_000)
     return synthetic_power_law(num_nodes, args.degree, 0), "synthetic"

@@ -1,0 +1,115 @@
+"""Stage ablation for the fused blockwise SGNS train step (BENCHLOG.md).
+
+Times, at the bench train shape (2M-node graph, B=64K, L=16, D=128, bf16):
+  walks   — uniform sampling only
+  fwd     — walk_loss_fn forward
+  grad    — value_and_grad (adds the backward scatter/gather)
+  adam    — optimizer update on precomputed dense grads
+  step    — the shipped fused walk_train_step (+walks)
+
+Run: python benchmarks/perf_train.py [--nodes N] [--walkers B] [--dim D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=2_000_000)
+    ap.add_argument("--degree", type=int, default=16)
+    ap.add_argument("--walkers", type=int, default=65_536)
+    ap.add_argument("--walk-length", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--window", type=int, default=5)
+    ap.add_argument("--shared-negatives", type=int, default=256)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from torch_random_walk_tpu.graph.datasets import synthetic_power_law
+    from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
+    from torch_random_walk_tpu.models.skipgram import (
+        SkipGramModel,
+        shared_negative_ids,
+    )
+    from torch_random_walk_tpu.utils.profiling import StepTimer
+
+    graph = synthetic_power_law(args.nodes, args.degree, 0)
+    cfg = Node2VecConfig(dim=args.dim, walk_length=args.walk_length,
+                         window_size=args.window, p=1.0, q=1.0,
+                         dtype=args.dtype,
+                         shared_negatives=args.shared_negatives)
+    n2v = Node2Vec(graph, cfg)
+    params, opt_state = n2v.init()
+    targets = jnp.arange(args.walkers, dtype=jnp.int32) % graph.num_nodes
+    seed = jnp.uint32(1)
+    timer = StepTimer()
+    results = {}
+
+    from torch_random_walk_tpu.ops.walk import walk
+
+    def walks_fn(t):
+        return walk(graph, target_nodes=t, walk_length=args.walk_length,
+                    seed=7)
+
+    walks = walks_fn(targets)
+    neg_ids = shared_negative_ids(seed, args.shared_negatives,
+                                  graph.num_nodes)
+    hw = args.window // 2
+
+    @jax.jit
+    def fwd(p, w, n):
+        return SkipGramModel.walk_loss_fn(p, w, n, args.window,
+                                          args.window - 1)
+
+    @jax.jit
+    def grad(p, w, n):
+        return jax.value_and_grad(SkipGramModel.walk_loss_fn)(
+            p, w, n, args.window, args.window - 1)
+
+    _, grads = jax.block_until_ready(grad(params, walks, neg_ids))
+
+    @jax.jit
+    def adam(p, o, g):
+        updates, o = n2v.model.optimizer.update(g, o, p)
+        import optax
+
+        return optax.apply_updates(p, updates), o
+
+    def step_fn(p, o, t):
+        return n2v.epoch_step(p, o, t, jnp.uint32(1))
+
+    results["walks_ms"] = timer.time(walks_fn, targets,
+                                     iters=args.iters) * 1e3
+    results["fwd_ms"] = timer.time(fwd, params, walks, neg_ids,
+                                   iters=args.iters) * 1e3
+    results["grad_ms"] = timer.time(grad, params, walks, neg_ids,
+                                    iters=args.iters) * 1e3
+    results["adam_ms"] = timer.time(adam, params, opt_state, grads,
+                                    iters=args.iters) * 1e3
+    results["step_ms"] = timer.time(step_fn, params, opt_state, targets,
+                                    iters=args.iters) * 1e3
+    results = {k: round(v, 2) for k, v in results.items()}
+    results["steps_per_sec_M"] = round(
+        args.walkers * args.walk_length / results["step_ms"] / 1e3, 2)
+    results.update(nodes=args.nodes, walkers=args.walkers,
+                   dim=args.dim, dtype=args.dtype,
+                   S=args.shared_negatives)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

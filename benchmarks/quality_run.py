@@ -114,7 +114,7 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
     from torch_random_walk_tpu.graph.csr import CSRGraph
     from torch_random_walk_tpu.graph.datasets import (
         load_ogbn,
-        synthetic_power_law,
+        products_shape_graph,
     )
     from torch_random_walk_tpu.models import (
         Node2Vec,
@@ -127,7 +127,7 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
         graph, _ = load_ogbn("ogbn-products", root=data_root)
         dataset = "ogbn-products"
     except ImportError:
-        graph = synthetic_power_law(2_449_029, 50, 0)
+        graph = products_shape_graph(data_root)
         dataset = "products-shape-synthetic"
 
     # Held-out link prediction: sample test edges from the CSR itself.
@@ -199,6 +199,10 @@ def main():
                     choices=["small", "products", "all"])
     ap.add_argument("--data-root", default="dataset")
     ap.add_argument("--out", default="QUALITY.md")
+    ap.add_argument("--epochs", type=int, default=3,
+                    help="products-tier epochs (train is ~11s/epoch on v5e;"
+                         " the default is a smoke run)")
+    ap.add_argument("--batch", type=int, default=65_536)
     args = ap.parse_args()
 
     results = []
@@ -208,7 +212,8 @@ def main():
             print(json.dumps(r), flush=True)
             results.append(r)
     if args.tier in ("products", "all"):
-        r = run_products(args.data_root)
+        r = run_products(args.data_root, epochs=args.epochs,
+                         batch=args.batch)
         print(json.dumps(r), flush=True)
         results.append(r)
 

@@ -124,3 +124,25 @@ class TestDatasets:
         # every node has out-degree >= 1 (ring edges)
         import numpy as np
         assert (np.diff(np.asarray(g.row_ptr)) >= 1).all()
+
+    def test_products_shape_cache_roundtrip(self, tmp_path, monkeypatch):
+        """products_shape_graph writes a CSR cache on first build and the
+        reload is byte-identical (walks over the reloaded graph therefore
+        reproduce the original bitstreams)."""
+        import numpy as np
+        from torch_random_walk_tpu.graph import datasets
+
+        monkeypatch.setattr(
+            datasets, "synthetic_power_law",
+            lambda n, d, s: G.CSRGraph.from_edges(
+                np.arange(500) % 100, (np.arange(500) * 7) % 100,
+                num_nodes=100))
+        g1 = datasets.products_shape_graph(str(tmp_path))
+        assert (tmp_path / "products_shape_csr.npz").exists()
+        monkeypatch.setattr(datasets, "synthetic_power_law", None)
+        g2 = datasets.products_shape_graph(str(tmp_path))  # cache hit
+        np.testing.assert_array_equal(np.asarray(g1.row_ptr),
+                                      np.asarray(g2.row_ptr))
+        np.testing.assert_array_equal(np.asarray(g1.col_idx),
+                                      np.asarray(g2.col_idx))
+        assert g2.max_degree == g1.max_degree

@@ -176,3 +176,22 @@ def synthetic_power_law(num_nodes: int, avg_degree: int,
     src = np.concatenate([src, ring, (ring + 1) % num_nodes])
     dst = np.concatenate([dst, (ring + 1) % num_nodes, ring])
     return CSRGraph.from_edges(src, dst, num_nodes=num_nodes)
+
+
+def products_shape_graph(root: str = "dataset") -> CSRGraph:
+    """ogbn-products-shaped synthetic graph (2.45M nodes, ~127M directed
+    edges, hub skew — BASELINE.json config 4) with on-disk CSR caching:
+    the host-side edge generation + CSR build takes ~20 min; reloading the
+    sorted arrays takes seconds.  Used by both bench.py --dataset
+    ogbn-products (when real OGB data is absent) and the products-tier
+    quality run."""
+    cache = os.path.join(root, "products_shape_csr.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as data:
+            return CSRGraph.from_arrays(data["row_ptr"], data["col_idx"],
+                                        sort_rows=False)
+    graph = synthetic_power_law(2_449_029, 50, 0)
+    os.makedirs(root, exist_ok=True)
+    np.savez(cache, row_ptr=np.asarray(graph.row_ptr),
+             col_idx=np.asarray(graph.col_idx))
+    return graph

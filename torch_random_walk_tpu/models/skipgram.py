@@ -112,9 +112,12 @@ class SkipGramModel:
         """
         length1 = walks.shape[1]
         hw = window_size // 2
-        in_rows = params["in_emb"][walks]        # (B, L+1, D)
+        # Gather only the C=L+1-2*hw center rows for in_emb (the edge
+        # positions are never centers): 24% fewer in-table gather rows
+        # forward and scatter rows backward at W=5, bit-identical loss
+        # and gradients.  out_emb needs every position (contexts).
+        u = params["in_emb"][walks[:, hw: length1 - hw]]  # (B, C, D)
         out_rows = params["out_emb"][walks]      # (B, L+1, D)
-        u = in_rows[:, hw: length1 - hw]         # (B, C, D)
         # Positive logits as 2*hw shifted elementwise dot products — only
         # the needed (B, C) diagonals, never the (B, L+1, L+1) gram matrix
         # (whose fp32 intermediate costs ~14% of the step at B=64K).
