@@ -236,8 +236,13 @@ def main():
     # Fused training step (walks -> windows -> SGNS loss) on the SAME graph.
     # bf16 embedding tables keep multi-million-node tables + Adam state
     # within single-chip HBM (the sharded trainer, parallel/trainer.py,
-    # removes even that limit on real pods).
+    # removes even that limit on real pods).  The biased-walk phase's
+    # cuckoo + fat6 tables (~7.4GB at the products shape) are not needed by
+    # the uniform-walk train step — free them first.
     from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
+    from torch_random_walk_tpu.ops.walk import clear_graph_caches
+
+    clear_graph_caches(graph)
 
     train_dtype = "bfloat16" if num_nodes > 500_000 else "float32"
     n2v = Node2Vec(graph, Node2VecConfig(dim=args.train_dim, walk_length=16,

@@ -139,6 +139,23 @@ class TestFatEquivalence:
         np.testing.assert_array_equal(np.asarray(via_graph),
                                       np.asarray(via_arrays))
 
+    def test_clear_graph_caches_transparent(self):
+        """Dropping the lazy cuckoo/fat6 device tables mid-pipeline (the
+        HBM release used between bench phases) rebuilds them on the next
+        biased walk with a bit-identical result."""
+        from torch_random_walk_tpu.ops.walk import clear_graph_caches
+
+        g = random_graph(200, 5, seed=4)
+        targets = jnp.arange(64, dtype=jnp.int32) % g.num_nodes
+        before = walk(g, target_nodes=targets, p=0.5, q=2.0,
+                      walk_length=10, seed=6)
+        clear_graph_caches(g)
+        after = walk(g, target_nodes=targets, p=0.5, q=2.0,
+                     walk_length=10, seed=6)
+        np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+        clear_graph_caches(g)  # idempotent on an empty cache
+        clear_graph_caches(g)
+
 
 class TestEdgeListTriplesFat:
     def _edge_graph(self, seed, dead_ends=True):

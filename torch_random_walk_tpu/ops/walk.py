@@ -86,6 +86,16 @@ def fat6_for(graph: CSRGraph):
     return ft
 
 
+def clear_graph_caches(graph) -> None:
+    """Drop the lazily built per-graph device tables (cuckoo edge set and
+    wide fat6 rows + Blooms).  They rebuild transparently on the next
+    biased walk; call between pipeline phases when HBM is tight — at the
+    ogbn-products shape (127M edges) the cuckoo table is ~4.3GB and the
+    (E, 6) fat rows ~3GB, which a subsequent training phase may need."""
+    _EDGE_SET_CACHE.pop(id(graph), None)
+    _BLOOM_CACHE.pop(id(graph), None)
+
+
 @partial(jax.jit, static_argnames=("walk_length",))
 def _uniform_csr(row_ptr, col_idx, target_nodes, walk_length, seed):
     return uniform_walk_csr(row_ptr, col_idx, target_nodes, walk_length, seed)
