@@ -191,6 +191,96 @@ int rw_pack_fat(const int64_t* row_ptr, const int32_t* col_idx,
   return 0;
 }
 
+// Build the WIDE fat tables for the free-running biased engine in one
+// parallel pass (bit-compatible with the NumPy build in ops/walk.fat6_for +
+// graph/bloom.py; at ogbn-products scale the NumPy path costs minutes of
+// ufunc.at / searchsorted / concatenate):
+//   edge_tab6 (E, 6): w0-w1 packed (dst, start[dst], deg[dst]),
+//                     w2-w4 dst's 96-bit out-neighbor Bloom filter,
+//                     w5 rev | own << 16 edge multiplicities
+//   node_tab6 (N, 6): w0-w1 packed node row, w2-w4 its Bloom, w5 = 0
+int rw_pack_fat6(const int64_t* row_ptr, const int32_t* col_idx,
+                 int64_t num_nodes, int64_t num_edges, int node_bits,
+                 int start_bits, uint32_t* edge_tab6, uint32_t* node_tab6) {
+  const int nt = hw_threads();
+  static const uint32_t kBloomMuls[2] = {0x9E3779B9u, 0x85EBCA6Bu};
+  auto pack = [&](uint64_t node, uint64_t start, uint64_t deg, uint32_t* out) {
+    const uint64_t v =
+        node | (start << node_bits) | (deg << (node_bits + start_bits));
+    out[0] = static_cast<uint32_t>(v & 0xFFFFFFFFu);
+    out[1] = static_cast<uint32_t>(v >> 32);
+  };
+  // Pass 1 (per node): packed row + 96-bit Bloom over the node's neighbors.
+  // Same probe math as graph/bloom.bloom_positions_np (words = 3):
+  //   h = uint32(x * m); pos = (uint64(h) * 96) >> 32.
+  {
+    const size_t chunk = (num_nodes + nt - 1) / nt;
+    parallel_for_threads(nt, [&](int t) {
+      const size_t lo = t * chunk,
+                   hi = std::min<size_t>(num_nodes, lo + chunk);
+      for (size_t v = lo; v < hi; ++v) {
+        const int64_t start = row_ptr[v], end = row_ptr[v + 1];
+        uint32_t* row = node_tab6 + 6 * v;
+        pack(v, start, end - start, row);
+        uint32_t b[3] = {0, 0, 0};
+        for (int64_t e = start; e < end; ++e) {
+          const uint32_t x = static_cast<uint32_t>(col_idx[e]);
+          for (uint32_t m : kBloomMuls) {
+            const uint32_t h = x * m;
+            const uint32_t pos =
+                static_cast<uint32_t>((static_cast<uint64_t>(h) * 96) >> 32);
+            b[pos >> 5] |= uint32_t(1) << (pos & 31);
+          }
+        }
+        row[2] = b[0];
+        row[3] = b[1];
+        row[4] = b[2];
+        row[5] = 0;
+      }
+    });
+  }
+  // Pass 2 (per edge, partitioned on edge boundaries for hub balance):
+  // dst's packed row + Bloom (copied from pass 1) + multiplicities.
+  //   own(u->w): run length of w within u's sorted row (counted inline);
+  //   rev(u->w): count of u within w's sorted row (binary search).
+  {
+    const size_t chunk = (num_edges + nt - 1) / nt;
+    parallel_for_threads(nt, [&](int t) {
+      const int64_t elo = std::min<int64_t>(num_edges, t * chunk);
+      const int64_t ehi = std::min<int64_t>(num_edges, elo + chunk);
+      if (elo >= ehi) return;
+      // First node whose row intersects [elo, ehi).
+      int64_t u = std::upper_bound(row_ptr, row_ptr + num_nodes + 1, elo) -
+                  row_ptr - 1;
+      for (int64_t e = elo; e < ehi; ++e) {
+        while (row_ptr[u + 1] <= e) ++u;
+        const int32_t w = col_idx[e];
+        uint32_t* out = edge_tab6 + 6 * e;
+        const uint32_t* wrow = node_tab6 + 6 * w;
+        pack(w, row_ptr[w], row_ptr[w + 1] - row_ptr[w], out);
+        out[2] = wrow[2];
+        out[3] = wrow[3];
+        out[4] = wrow[4];
+        // own: extend to the full run of w inside u's row (sorted).
+        int64_t s = e;
+        while (s > row_ptr[u] && col_idx[s - 1] == w) --s;
+        int64_t eend = e;
+        while (eend + 1 < row_ptr[u + 1] && col_idx[eend + 1] == w) ++eend;
+        uint64_t own = eend - s + 1;
+        const int32_t* wb = col_idx + row_ptr[w];
+        const int32_t* we = col_idx + row_ptr[w + 1];
+        uint64_t rev = std::upper_bound(wb, we, static_cast<int32_t>(u)) -
+                       std::lower_bound(wb, we, static_cast<int32_t>(u));
+        if (own > 0xFFFF) own = 0xFFFF;
+        if (rev > 0xFFFF) rev = 0xFFFF;
+        out[5] = static_cast<uint32_t>(rev) |
+                 (static_cast<uint32_t>(own) << 16);
+      }
+    });
+  }
+  return 0;
+}
+
 // ---- cuckoo hash set (bit-compatible with graph/hashset.py) ----
 
 static inline uint32_t rw_hash(uint32_t lo, uint32_t hi, uint32_t salt,

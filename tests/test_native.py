@@ -69,6 +69,43 @@ class TestNativeBuilders:
 
     @pytest.mark.skipif(not native.available(),
                         reason="native library not built (make -C csrc)")
+    def test_pack_fat6_matches_numpy(self):
+        """The one-pass C++ wide-table build (packed meta + 96-bit Blooms +
+        edge multiplicities) is bit-identical to the NumPy build in
+        ops/walk.fat6_for — including parallel edges (own/rev multiplicity
+        runs) and a hub row."""
+        from torch_random_walk_tpu.graph.bloom import (
+            build_edge_multiplicities,
+            build_node_blooms,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 600
+        src = np.concatenate([rng.integers(0, n, 6000),
+                              np.zeros(500, np.int64),      # hub out-edges
+                              rng.integers(0, n, 300)])
+        dst = np.concatenate([rng.integers(0, n, 6000),
+                              rng.integers(0, n, 500),
+                              rng.integers(0, n, 300)])
+        src[:200] = src[200:400]  # force parallel edges
+        dst[:200] = dst[200:400]
+        g = CSRGraph.from_edges(src, dst, num_nodes=n)
+        e6, n6 = native.pack_fat6(np.asarray(g.row_ptr, np.int64),
+                                  np.asarray(g.col_idx, np.int32),
+                                  g.layout.node_bits, g.layout.start_bits)
+        blooms = build_node_blooms(g.row_ptr, g.col_idx, words=3)
+        col = np.asarray(g.col_idx)
+        rev = build_edge_multiplicities(g.row_ptr, g.col_idx)
+        ref_e6 = np.concatenate(
+            [np.asarray(g.edge_tab), blooms[col], rev[:, None]], axis=1)
+        ref_n6 = np.concatenate(
+            [np.asarray(g.node_tab), blooms,
+             np.zeros((g.num_nodes, 1), np.uint32)], axis=1)
+        np.testing.assert_array_equal(e6, ref_e6)
+        np.testing.assert_array_equal(n6, ref_n6)
+
+    @pytest.mark.skipif(not native.available(),
+                        reason="native library not built (make -C csrc)")
     def test_cuckoo_native_query_exact(self):
         rng = np.random.default_rng(2)
         n, e = 2000, 30_000

@@ -213,7 +213,7 @@ def _mixture_consts(p: float, q: float, deg_bits: int) -> tuple:
 def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                       hash_log_size, hash_salt, p, q, walk_length, seed,
                       walker_offset=0, max_rounds=common.DEFAULT_MAX_ROUNDS,
-                      rounds_per_block=3, slack=1.05, round_unroll=3,
+                      rounds_per_block=None, slack=1.05, round_unroll=None,
                       sampler="mixture"):
     """Free-running biased rounds — the production CSR node2vec engine.
 
@@ -269,6 +269,23 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         band_frac = abs(w1_i - w2_i) / mi
     else:
         band_frac = hi_acc - lo_acc
+    # Adaptive exact-pass cadence: a frozen lane stalls until its block's
+    # exact pass, so the optimal block length falls as the freeze rate
+    # (in-band AND Bloom-positive per draw) rises.  At deg-16 shapes
+    # (freeze ~2-5%/draw) the measured sweet spot is rpb=3 (BENCHLOG.md
+    # block-length sweep); at ogbn-products degree (~50) the 96-bit Bloom
+    # saturates (fp ~0.46) and rpb=3 collapses lane utilization — serve
+    # frozen lanes every round instead (the exact-pass fixed cost ~0.2-0.4ms
+    # is small against a 3.5ms round).
+    freeze_rate = fp_est * band_frac
+    if rounds_per_block is None:
+        # Thresholds anchored to the measured sweep: the deg-18 bench shape
+        # estimates freeze ~0.06 and rpb=3 wins there (12.76M vs 12.02M at
+        # rpb=2); products-shape deg-52 estimates ~0.23 and needs rpb=1.
+        rounds_per_block = 1 if freeze_rate > 0.15 else (
+            2 if freeze_rate > 0.09 else 3)
+    if round_unroll is None:
+        round_unroll = rounds_per_block
     inflow = 1.4 * fp_est * band_frac * rounds_per_block * num_walkers
     exact_cap = int(min(num_walkers,
                         max(((int(inflow) + 127) // 128) * 128, 256)))

@@ -72,14 +72,24 @@ def fat6_for(graph: CSRGraph):
     key = id(graph)
     ft = _BLOOM_CACHE.get(key)
     if ft is None:
-        blooms = build_node_blooms(graph.row_ptr, graph.col_idx, words=3)
-        col = np.asarray(graph.col_idx)
-        rev = build_edge_multiplicities(graph.row_ptr, graph.col_idx)
-        e6 = np.concatenate(
-            [np.asarray(graph.edge_tab), blooms[col], rev[:, None]], axis=1)
-        n6 = np.concatenate(
-            [np.asarray(graph.node_tab), blooms,
-             np.zeros((graph.num_nodes, 1), np.uint32)], axis=1)
+        from torch_random_walk_tpu import native
+
+        built = native.pack_fat6(np.asarray(graph.row_ptr, np.int64),
+                                 np.asarray(graph.col_idx, np.int32),
+                                 graph.layout.node_bits,
+                                 graph.layout.start_bits)
+        if built is not None:  # multithreaded C++ (minutes faster at 100M+ E)
+            e6, n6 = built
+        else:
+            blooms = build_node_blooms(graph.row_ptr, graph.col_idx, words=3)
+            col = np.asarray(graph.col_idx)
+            rev = build_edge_multiplicities(graph.row_ptr, graph.col_idx)
+            e6 = np.concatenate(
+                [np.asarray(graph.edge_tab), blooms[col], rev[:, None]],
+                axis=1)
+            n6 = np.concatenate(
+                [np.asarray(graph.node_tab), blooms,
+                 np.zeros((graph.num_nodes, 1), np.uint32)], axis=1)
         ft = (jnp.asarray(e6), jnp.asarray(n6))
         _BLOOM_CACHE[key] = ft
         weakref.finalize(graph, _BLOOM_CACHE.pop, key, None)
