@@ -194,15 +194,21 @@ int rw_pack_fat(const int64_t* row_ptr, const int32_t* col_idx,
 // Build the WIDE fat tables for the free-running biased engine in one
 // parallel pass (bit-compatible with the NumPy build in ops/walk.fat6_for +
 // graph/bloom.py; at ogbn-products scale the NumPy path costs minutes of
-// ufunc.at / searchsorted / concatenate):
-//   edge_tab6 (E, 6): w0-w1 packed (dst, start[dst], deg[dst]),
-//                     w2-w4 dst's 96-bit out-neighbor Bloom filter,
-//                     w5 rev | own << 16 edge multiplicities
-//   node_tab6 (N, 6): w0-w1 packed node row, w2-w4 its Bloom, w5 = 0
+// ufunc.at / searchsorted / concatenate).  Row width = 2 + bloom_words + 1:
+//   edge_tab6 (E, W): w0-w1 packed (dst, start[dst], deg[dst]),
+//                     next bloom_words words: dst's out-neighbor Bloom,
+//                     last word: rev | own << 16 edge multiplicities
+//   node_tab6 (N, W): packed node row, its Bloom, 0
+// bloom_words scales with average degree (96 bits saturate at deg ~50 —
+// ops/walk.fat6_for picks the width).
 int rw_pack_fat6(const int64_t* row_ptr, const int32_t* col_idx,
                  int64_t num_nodes, int64_t num_edges, int node_bits,
-                 int start_bits, uint32_t* edge_tab6, uint32_t* node_tab6) {
+                 int start_bits, int bloom_words, uint32_t* edge_tab6,
+                 uint32_t* node_tab6) {
   const int nt = hw_threads();
+  const int width = 2 + bloom_words + 1;
+  const uint64_t bloom_bits = 32u * bloom_words;
+  if (bloom_words < 1 || bloom_words > 13) return 1;
   static const uint32_t kBloomMuls[2] = {0x9E3779B9u, 0x85EBCA6Bu};
   auto pack = [&](uint64_t node, uint64_t start, uint64_t deg, uint32_t* out) {
     const uint64_t v =
@@ -210,9 +216,9 @@ int rw_pack_fat6(const int64_t* row_ptr, const int32_t* col_idx,
     out[0] = static_cast<uint32_t>(v & 0xFFFFFFFFu);
     out[1] = static_cast<uint32_t>(v >> 32);
   };
-  // Pass 1 (per node): packed row + 96-bit Bloom over the node's neighbors.
-  // Same probe math as graph/bloom.bloom_positions_np (words = 3):
-  //   h = uint32(x * m); pos = (uint64(h) * 96) >> 32.
+  // Pass 1 (per node): packed row + Bloom over the node's neighbors.
+  // Same probe math as graph/bloom.bloom_positions_np:
+  //   h = uint32(x * m); pos = (uint64(h) * 32 * words) >> 32.
   {
     const size_t chunk = (num_nodes + nt - 1) / nt;
     parallel_for_threads(nt, [&](int t) {
@@ -220,22 +226,20 @@ int rw_pack_fat6(const int64_t* row_ptr, const int32_t* col_idx,
                    hi = std::min<size_t>(num_nodes, lo + chunk);
       for (size_t v = lo; v < hi; ++v) {
         const int64_t start = row_ptr[v], end = row_ptr[v + 1];
-        uint32_t* row = node_tab6 + 6 * v;
+        uint32_t* row = node_tab6 + width * v;
         pack(v, start, end - start, row);
-        uint32_t b[3] = {0, 0, 0};
+        uint32_t* b = row + 2;
+        for (int k = 0; k < bloom_words; ++k) b[k] = 0;
         for (int64_t e = start; e < end; ++e) {
           const uint32_t x = static_cast<uint32_t>(col_idx[e]);
           for (uint32_t m : kBloomMuls) {
             const uint32_t h = x * m;
-            const uint32_t pos =
-                static_cast<uint32_t>((static_cast<uint64_t>(h) * 96) >> 32);
+            const uint32_t pos = static_cast<uint32_t>(
+                (static_cast<uint64_t>(h) * bloom_bits) >> 32);
             b[pos >> 5] |= uint32_t(1) << (pos & 31);
           }
         }
-        row[2] = b[0];
-        row[3] = b[1];
-        row[4] = b[2];
-        row[5] = 0;
+        row[width - 1] = 0;
       }
     });
   }
@@ -255,12 +259,10 @@ int rw_pack_fat6(const int64_t* row_ptr, const int32_t* col_idx,
       for (int64_t e = elo; e < ehi; ++e) {
         while (row_ptr[u + 1] <= e) ++u;
         const int32_t w = col_idx[e];
-        uint32_t* out = edge_tab6 + 6 * e;
-        const uint32_t* wrow = node_tab6 + 6 * w;
+        uint32_t* out = edge_tab6 + width * e;
+        const uint32_t* wrow = node_tab6 + width * w;
         pack(w, row_ptr[w], row_ptr[w + 1] - row_ptr[w], out);
-        out[2] = wrow[2];
-        out[3] = wrow[3];
-        out[4] = wrow[4];
+        for (int k = 0; k < bloom_words; ++k) out[2 + k] = wrow[2 + k];
         // own: extend to the full run of w inside u's row (sorted).
         int64_t s = e;
         while (s > row_ptr[u] && col_idx[s - 1] == w) --s;
@@ -273,8 +275,8 @@ int rw_pack_fat6(const int64_t* row_ptr, const int32_t* col_idx,
                        std::lower_bound(wb, we, static_cast<int32_t>(u));
         if (own > 0xFFFF) own = 0xFFFF;
         if (rev > 0xFFFF) rev = 0xFFFF;
-        out[5] = static_cast<uint32_t>(rev) |
-                 (static_cast<uint32_t>(own) << 16);
+        out[width - 1] = static_cast<uint32_t>(rev) |
+                         (static_cast<uint32_t>(own) << 16);
       }
     });
   }

@@ -422,6 +422,22 @@ class TestMixtureSampler:
         g = CSRGraph.from_edges(src, dst, num_nodes=n)
         self._check(g, 0.25, 2.0, 4096, walk_length=10)
 
+    def test_mixture_wide_bloom_deg50(self):
+        """Average degree ~50 selects the 224-bit Bloom width
+        (ops/walk.bloom_words_for — the 96-bit filter saturates there);
+        the wider (E, 10) rows must stay bit-identical to the jnp mixture
+        reference through the freerun engine."""
+        from torch_random_walk_tpu.ops.walk import bloom_words_for, fat6_for
+
+        rng = np.random.default_rng(75)
+        n = 800
+        src = rng.integers(0, n, n * 50)
+        dst = rng.integers(0, n, n * 50)
+        g = CSRGraph.from_edges(src, dst, num_nodes=n)
+        assert bloom_words_for(g.num_nodes, g.num_edges) == 7
+        assert fat6_for(g)[0].shape[1] == 10
+        self._check(g, 0.5, 2.0, 4096, walk_length=10)
+
     def test_mixture_matches_node2vec_law(self):
         """Empirical transition law of the mixture sampler == the exact
         node2vec distribution (oracle) — sampler equivalence."""

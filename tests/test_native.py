@@ -90,19 +90,21 @@ class TestNativeBuilders:
         src[:200] = src[200:400]  # force parallel edges
         dst[:200] = dst[200:400]
         g = CSRGraph.from_edges(src, dst, num_nodes=n)
-        e6, n6 = native.pack_fat6(np.asarray(g.row_ptr, np.int64),
-                                  np.asarray(g.col_idx, np.int32),
-                                  g.layout.node_bits, g.layout.start_bits)
-        blooms = build_node_blooms(g.row_ptr, g.col_idx, words=3)
         col = np.asarray(g.col_idx)
         rev = build_edge_multiplicities(g.row_ptr, g.col_idx)
-        ref_e6 = np.concatenate(
-            [np.asarray(g.edge_tab), blooms[col], rev[:, None]], axis=1)
-        ref_n6 = np.concatenate(
-            [np.asarray(g.node_tab), blooms,
-             np.zeros((g.num_nodes, 1), np.uint32)], axis=1)
-        np.testing.assert_array_equal(e6, ref_e6)
-        np.testing.assert_array_equal(n6, ref_n6)
+        for words in (3, 7):  # both degree tiers (ops/walk.bloom_words_for)
+            e6, n6 = native.pack_fat6(np.asarray(g.row_ptr, np.int64),
+                                      np.asarray(g.col_idx, np.int32),
+                                      g.layout.node_bits,
+                                      g.layout.start_bits, words)
+            blooms = build_node_blooms(g.row_ptr, g.col_idx, words=words)
+            ref_e6 = np.concatenate(
+                [np.asarray(g.edge_tab), blooms[col], rev[:, None]], axis=1)
+            ref_n6 = np.concatenate(
+                [np.asarray(g.node_tab), blooms,
+                 np.zeros((g.num_nodes, 1), np.uint32)], axis=1)
+            np.testing.assert_array_equal(e6, ref_e6)
+            np.testing.assert_array_equal(n6, ref_n6)
 
     @pytest.mark.skipif(not native.available(),
                         reason="native library not built (make -C csrc)")

@@ -56,7 +56,7 @@ def _load():
     if hasattr(lib, "rw_pack_fat6"):  # absent in stale prebuilt .so files
         lib.rw_pack_fat6.argtypes = [i64p, i32p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_int,
-                                     ctypes.c_int, u32p, u32p]
+                                     ctypes.c_int, ctypes.c_int, u32p, u32p]
         lib.rw_pack_fat6.restype = ctypes.c_int
     _LIB = lib
     return lib
@@ -122,12 +122,14 @@ def pack_fat(row_ptr, col_idx, node_bits: int, start_bits: int):
             pack(np.arange(n), starts, degs))
 
 
-def pack_fat6(row_ptr, col_idx, node_bits: int, start_bits: int):
-    """CSR -> ((E, 6) edge_tab6, (N, 6) node_tab6) wide fat tables for the
-    free-running biased engine (packed meta + 96-bit neighbor Blooms + edge
-    multiplicities — see ops/walk.fat6_for for the row layout).  Returns
-    None when the native library is unavailable; the caller falls back to
-    the NumPy build (bit-identical, minutes slower at 100M+ edges)."""
+def pack_fat6(row_ptr, col_idx, node_bits: int, start_bits: int,
+              bloom_words: int = 3):
+    """CSR -> ((E, W) edge_tab6, (N, W) node_tab6) wide fat tables for the
+    free-running biased engine, W = 2 + bloom_words + 1 (packed meta +
+    neighbor Bloom + edge multiplicities — see ops/walk.fat6_for for the
+    row layout and the degree-based width choice).  Returns None when the
+    native library is unavailable; the caller falls back to the NumPy
+    build (bit-identical, minutes slower at 100M+ edges)."""
     lib = _load()
     if not lib or not hasattr(lib, "rw_pack_fat6"):
         return None
@@ -135,10 +137,11 @@ def pack_fat6(row_ptr, col_idx, node_bits: int, start_bits: int):
     col_idx = np.ascontiguousarray(col_idx, np.int32)
     n = row_ptr.shape[0] - 1
     e = col_idx.shape[0]
-    edge_tab6 = np.empty((e, 6), np.uint32)
-    node_tab6 = np.empty((n, 6), np.uint32)
+    width = 2 + bloom_words + 1
+    edge_tab6 = np.empty((e, width), np.uint32)
+    node_tab6 = np.empty((n, width), np.uint32)
     rc = lib.rw_pack_fat6(row_ptr, col_idx, n, e, node_bits, start_bits,
-                          edge_tab6, node_tab6)
+                          bloom_words, edge_tab6, node_tab6)
     if rc != 0:
         return None
     return edge_tab6, node_tab6

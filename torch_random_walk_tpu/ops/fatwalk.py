@@ -249,6 +249,10 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
     lo_acc = min(prob_1, prob_2)
     hi_acc = max(prob_1, prob_2)
+    # Row layout: 2 packed words | bw Bloom words | 1 multiplicity word.
+    # The Bloom width scales with avg degree (ops/walk.bloom_words_for).
+    bw = int(edge_tab6.shape[1]) - 3
+    mult_col = 2 + bw
     mix = sampler == "mixture"
     mi, ei, wt_i, w1_i, w2_i = _mixture_consts(p, q, meta.layout.deg_bits)
     lo_i, hi_i = min(w1_i, w2_i), max(w1_i, w2_i)
@@ -264,7 +268,8 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     import math as _math
 
     avg_deg = max(meta.num_edges / max(meta.num_nodes, 1), 1.0)
-    fp_est = min((1.0 - _math.exp(-2.0 * avg_deg / 96.0)) ** 2 + 0.02, 1.0)
+    fp_est = min((1.0 - _math.exp(-2.0 * avg_deg / (32.0 * bw))) ** 2 + 0.02,
+                 1.0)
     if mix:
         band_frac = abs(w1_i - w2_i) / mi
     else:
@@ -321,7 +326,7 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         _, start, deg = unpack3(v_row[:, :2])
         b_cand, b_acc = prng.counter_bits(key, wid_s, c1)
         if mix:
-            mult = v_row[:, 5] & jnp.uint32(0xFFFF)
+            mult = v_row[:, mult_col] & jnp.uint32(0xFFFF)
             dead = deg == 0
             g_spike = jnp.uint32(ei) * mult
             g_total = jnp.uint32(mi) * deg.astype(jnp.uint32) + g_spike
@@ -335,16 +340,16 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
             # Spike: the walk returns to t.  The new row is t's row with the
             # multiplicity halves swapped (rev' = own, own' = rev — see
             # graph/bloom.build_edge_multiplicities).
-            w5 = v_row[:, 5]
+            w5 = v_row[:, mult_col]
             spike_w5 = (w5 >> jnp.uint32(16)) | (w5 << jnp.uint32(16))
-            spike_row = jnp.concatenate([t_row[:, :5], spike_w5[:, None]],
-                                        axis=1)
+            spike_row = jnp.concatenate(
+                [t_row[:, :mult_col], spike_w5[:, None]], axis=1)
             rows = jnp.where(dead[:, None], v_row,
                              jnp.where(spike[:, None], spike_row, rows))
             cand = unpack3(rows[:, :2])[0]
             is_t = cand == t
             if nbr is None:
-                maybe = bloom_maybe(t_row[:, 2:5], cand, words=3)
+                maybe = bloom_maybe(t_row[:, 2:mult_col], cand, words=bw)
                 acc_n = jnp.where(is_t, sub < wt_i,
                                   jnp.where(maybe, sub < lo_i, sub < w2_i))
                 rej_n = jnp.where(is_t, sub >= wt_i,
@@ -367,7 +372,7 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         r = prng.uniform_from_bits(b_acc)
         is_t = cand == t
         if nbr is None:
-            maybe = bloom_maybe(t_row[:, 2:5], cand, words=3)
+            maybe = bloom_maybe(t_row[:, 2:mult_col], cand, words=bw)
             acc_n = jnp.where(is_t, r < prob_0,
                               jnp.where(maybe, r < lo_acc, r < prob_2))
             rej_n = jnp.where(is_t, r >= prob_0,

@@ -51,14 +51,33 @@ def edge_set_for(graph: CSRGraph) -> EdgeHashSet:
     return es
 
 
+def bloom_words_for(num_nodes: int, num_edges: int) -> int:
+    """Bloom width (uint32 words) for the wide fat rows, by average degree.
+
+    The filter carries 2 probes per neighbor; once 2*deg approaches the bit
+    count the filter saturates (fp -> 1) and every in-band draw freezes for
+    an exact pass (measured on the products shape, deg ~50: fp ~0.46 at 96
+    bits collapsed node2vec to 3.0M steps/s).  Row width is nearly free on
+    the gather engine (BENCHLOG.md: (E,2) 1.75ms vs (E,6) 2.19ms at
+    B=128K), so scale the width with degree instead."""
+    avg_deg = num_edges / max(num_nodes, 1)
+    if avg_deg <= 24:
+        return 3    # 96 bits:  fp ~0.10 at deg 16
+    if avg_deg <= 64:
+        return 7    # 224 bits: fp ~0.14 at deg 50
+    return 13       # 416 bits: fp ~0.15 at deg 100; hubs saturate anyway
+
+
 def fat6_for(graph: CSRGraph):
     """Lazy per-graph WIDE fat tables for the free-running biased engine
-    (ops/fatwalk.py 'bloom' branch).  (E, 6) / (N, 6) uint32 rows:
+    (ops/fatwalk.py 'bloom' branch).  (E, W) / (N, W) uint32 rows,
+    W = 2 + bloom_words + 1 (bloom_words_for picks the Bloom width by
+    average degree):
 
-        w0-w1  packed (node, start, deg)         -- graph.layout
-        w2-w4  the node's 96-bit out-neighbor Bloom filter
-        w5     packed multiplicities rev | own << 16 (the mixture
-               sampler's spike masses — graph/bloom.py)
+        w0-w1    packed (node, start, deg)       -- graph.layout
+        next B   the node's 32*B-bit out-neighbor Bloom filter
+        last     packed multiplicities rev | own << 16 (the mixture
+                 sampler's spike masses — graph/bloom.py)
 
     One gather returns the candidate, its meta, the next step's distance-1
     pre-filter AND the next state's spike mass."""
@@ -74,14 +93,16 @@ def fat6_for(graph: CSRGraph):
     if ft is None:
         from torch_random_walk_tpu import native
 
+        words = bloom_words_for(graph.num_nodes, graph.num_edges)
         built = native.pack_fat6(np.asarray(graph.row_ptr, np.int64),
                                  np.asarray(graph.col_idx, np.int32),
                                  graph.layout.node_bits,
-                                 graph.layout.start_bits)
+                                 graph.layout.start_bits, words)
         if built is not None:  # multithreaded C++ (minutes faster at 100M+ E)
             e6, n6 = built
         else:
-            blooms = build_node_blooms(graph.row_ptr, graph.col_idx, words=3)
+            blooms = build_node_blooms(graph.row_ptr, graph.col_idx,
+                                       words=words)
             col = np.asarray(graph.col_idx)
             rev = build_edge_multiplicities(graph.row_ptr, graph.col_idx)
             e6 = np.concatenate(
