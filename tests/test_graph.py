@@ -125,6 +125,93 @@ class TestDatasets:
         import numpy as np
         assert (np.diff(np.asarray(g.row_ptr)) >= 1).all()
 
+    def test_load_planetoid_npz_cache(self, tmp_path):
+        """Cached-npz path of the Cora/Citeseer loader: src/dst/labels in
+        {root}/{name}_edges.npz -> symmetrized CSRGraph + labels."""
+        import numpy as np
+        from torch_random_walk_tpu.graph import datasets
+
+        np.savez(str(tmp_path / "cora_edges.npz"),
+                 src=np.array([0, 1, 2, 3]), dst=np.array([1, 2, 3, 0]),
+                 num_nodes=np.int64(5),
+                 labels=np.array([0, 0, 1, 1, 2]))
+        g, labels = datasets.load_planetoid("Cora", root=str(tmp_path))
+        assert g.num_nodes == 5
+        assert g.num_edges == 8  # symmetrized
+        np.testing.assert_array_equal(labels, [0, 0, 1, 1, 2])
+
+    def test_load_planetoid_pickle_format(self, tmp_path):
+        """Standard GCN-distribution pickle path: ind.{name}.graph adjacency
+        dict + ally/ty one-hot labels + permuted test index; the loader must
+        reassemble per-node labels in graph order."""
+        import pickle
+
+        import numpy as np
+        from torch_random_walk_tpu.graph import datasets
+
+        adj = {0: [1, 2], 1: [0], 2: [0, 3], 3: [2], 4: [0]}
+        with open(tmp_path / "ind.cora.graph", "wb") as f:
+            pickle.dump(adj, f)
+        y_all = np.eye(3)[[0, 1, 2]]          # labels for nodes 0-2
+        # ty rows follow test.index FILE order (GCN-codebase contract:
+        # labels[test_index[i]] = ty[i]): node 4 -> 2, node 3 -> 1.
+        y_test = np.eye(3)[[2, 1]]
+        test_index = np.array([4, 3])         # permuted on disk
+        with open(tmp_path / "ind.cora.ally", "wb") as f:
+            pickle.dump(y_all, f)
+        with open(tmp_path / "ind.cora.ty", "wb") as f:
+            pickle.dump(y_test, f)
+        np.savetxt(tmp_path / "ind.cora.test.index", test_index, fmt="%d")
+        g, labels = datasets.load_planetoid("cora", root=str(tmp_path))
+        assert g.num_nodes == 5
+        # undirected: each adjacency entry appears in both directions
+        row_ptr = np.asarray(g.row_ptr)
+        assert row_ptr[-1] == g.num_edges
+        np.testing.assert_array_equal(labels, [0, 1, 2, 1, 2])
+
+    def test_load_planetoid_missing_raises(self, tmp_path):
+        import pytest
+
+        from torch_random_walk_tpu.graph import datasets
+
+        with pytest.raises(FileNotFoundError):
+            datasets.load_planetoid("cora", root=str(tmp_path / "void"))
+
+    def test_load_ogbn_npz_cache(self, tmp_path):
+        """Cached-edge path of the OGB loader (the zero-egress contract:
+        a {root}/{name}_edges.npz + optional labels file fully replaces the
+        ogb package).  The cache stores RAW directed edges; symmetrize
+        applies per load so cached and fresh builds agree."""
+        import numpy as np
+        from torch_random_walk_tpu.graph import datasets
+
+        datasets.save_npz(str(tmp_path / "ogbn_products_edges.npz"),
+                          [0, 1, 2], [1, 2, 3], num_nodes=4)
+        np.save(str(tmp_path / "ogbn_products_labels.npy"),
+                np.array([0, 1, 1, 0]))
+        g, labels = datasets.load_ogbn("ogbn-products", root=str(tmp_path))
+        assert g.num_nodes == 4
+        assert g.num_edges == 6  # symmetrized
+        np.testing.assert_array_equal(labels, [0, 1, 1, 0])
+        g2, _ = datasets.load_ogbn("ogbn-products", root=str(tmp_path),
+                                   symmetrize=False)
+        assert g2.num_edges == 3  # raw directed edges
+
+    def test_load_ogbn_without_package_or_cache(self, tmp_path):
+        """No cache and no ogb package -> a loud ImportError naming the
+        cache path (VERDICT r1: the loader must not fail silently)."""
+        import pytest
+
+        from torch_random_walk_tpu.graph import datasets
+
+        try:
+            import ogb  # noqa: F401
+            pytest.skip("ogb installed in this environment")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="ogbn_arxiv_edges.npz"):
+            datasets.load_ogbn("ogbn-arxiv", root=str(tmp_path))
+
     def test_products_shape_cache_roundtrip(self, tmp_path, monkeypatch):
         """products_shape_graph writes a CSR cache on first build and the
         reload is byte-identical (walks over the reloaded graph therefore
