@@ -30,10 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build(args):
     import jax.numpy as jnp
-    from torch_random_walk_tpu.graph.datasets import synthetic_power_law
+    from torch_random_walk_tpu.graph.datasets import (
+        products_shape_graph,
+        synthetic_power_law,
+    )
     from torch_random_walk_tpu.ops.walk import edge_set_for
 
-    graph = synthetic_power_law(args.nodes, args.degree, 0)
+    if args.dataset == "products":
+        graph = products_shape_graph("dataset")
+    else:
+        graph = synthetic_power_law(args.nodes, args.degree, 0)
     es = edge_set_for(graph)
     targets = jnp.arange(args.walkers, dtype=jnp.int32) % graph.num_nodes
     return graph, es, targets
@@ -73,8 +79,9 @@ def run_variant(name, graph, es, targets, args):
         from torch_random_walk_tpu.ops.walk import fat6_for
 
         ft = fat6_for(graph)
-        fr_kw = dict(rounds_per_block=args.rpb, round_unroll=args.runroll,
-                     slack=args.slack)
+        # rpb 0 = engine's adaptive cadence (freeze-rate heuristic).
+        fr_kw = dict(rounds_per_block=args.rpb or None,
+                     round_unroll=args.runroll or None, slack=args.slack)
 
         def run_b(e6, n6, table, tt):
             return fatwalk._node2vec_freerun(
@@ -113,10 +120,18 @@ def main():
     ap.add_argument("--p", type=float, default=0.5)
     ap.add_argument("--q", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--rpb", type=int, default=3,
-                    help="freerun rounds_per_block (bloom variant)")
-    ap.add_argument("--runroll", type=int, default=3,
-                    help="freerun round_unroll (bloom variant)")
+    ap.add_argument("--dataset", type=str, default="synthetic",
+                    choices=["synthetic", "products"],
+                    help="products = cached products-shape CSR "
+                    "(graph/datasets.products_shape_graph)")
+    ap.add_argument("--rpb", type=int, default=0,
+                    help="freerun rounds_per_block; 0 = adaptive "
+                    "(bloom variant)")
+    ap.add_argument("--runroll", type=int, default=0,
+                    help="freerun round_unroll; 0 = rpb (bloom variant)")
+    ap.add_argument("--sweep", type=str, default="",
+                    help="comma list of rounds_per_block values: time the "
+                    "bloom variant once per value (tables stay on device)")
     ap.add_argument("--slack", type=float, default=1.05,
                     help="freerun scan-length slack (bloom variant)")
     ap.add_argument("--variant", type=str, default="all")
@@ -124,6 +139,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # The tunnel sitecustomize force-registers the TPU plugin and clobbers
+    # JAX_PLATFORMS at import; honor an explicit export (matches bench.py)
+    # so CPU-only runs never touch a busy chip.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
 
     graph, es, targets = build(args)
     steps = args.walkers * args.walk_length
@@ -133,6 +155,16 @@ def main():
     if args.trace:
         jax.profiler.start_trace(args.trace)
     out = {}
+    if args.sweep:
+        for rpb in (int(x) for x in args.sweep.split(",")):
+            args.rpb, args.runroll = rpb, rpb
+            dt = run_variant("bloom", graph, es, targets, args)
+            out[f"bloom_rpb{rpb}"] = dict(
+                sec_per_call=round(dt, 4),
+                msteps_per_sec=round(steps / dt / 1e6, 2))
+            print(f"bloom rpb={rpb}", json.dumps(out[f"bloom_rpb{rpb}"]),
+                  flush=True)
+        names = []
     for name in names:
         dt = run_variant(name, graph, es, targets, args)
         out[name] = dict(sec_per_call=round(dt, 4),

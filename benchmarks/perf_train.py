@@ -37,6 +37,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Honor an explicit JAX_PLATFORMS export (the tunnel sitecustomize
+    # clobbers the env var; matches bench.py) so CPU runs stay off the TPU.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
+
     import jax.numpy as jnp
 
     from torch_random_walk_tpu.graph.datasets import synthetic_power_law
