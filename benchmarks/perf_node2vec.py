@@ -149,7 +149,7 @@ def main():
 
     graph, es, targets = build(args)
     steps = args.walkers * args.walk_length
-    names = (["uniform", "full", "bulkonly", "nolevels", "notail"]
+    names = (["uniform", "bloom", "full", "bulkonly", "nolevels", "notail"]
              if args.variant == "all" else args.variant.split(","))
 
     if args.trace:

@@ -129,15 +129,45 @@ class TestFatEquivalence:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(fat))
 
     def test_public_walk_routes_to_fat(self):
-        """walk(CSRGraph, ...) output equals the raw-array (reference) path."""
+        """walk(CSRGraph, ...) runs the freerun mixture engine at EVERY
+        batch size (one bitstream family for the whole graph entry point);
+        walk(row_ptr, col_idx, ...) keeps the reference-shaped rejection
+        bitstream."""
+        from torch_random_walk_tpu.ops.node2vec import (
+            node2vec_walk_csr,
+            node2vec_walk_csr_mixture,
+        )
+
         g = random_graph(200, 5, seed=2)
         targets = jnp.arange(50, dtype=jnp.int32) % g.num_nodes
         via_graph = walk(g, target_nodes=targets, p=0.5, q=2.0,
                          walk_length=12, seed=5)
+        mix_ref = node2vec_walk_csr_mixture(g.row_ptr, g.col_idx, targets,
+                                            0.5, 2.0, 12, 5,
+                                            g.layout.deg_bits,
+                                            search_iters=g.search_iters)
+        np.testing.assert_array_equal(np.asarray(via_graph),
+                                      np.asarray(mix_ref))
         via_arrays = walk(g.row_ptr, g.col_idx, targets, p=0.5, q=2.0,
                           walk_length=12, seed=5)
-        np.testing.assert_array_equal(np.asarray(via_graph),
-                                      np.asarray(via_arrays))
+        rej_ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, 0.5, 2.0,
+                                    12, 5, search_iters=g.search_iters)
+        np.testing.assert_array_equal(np.asarray(via_arrays),
+                                      np.asarray(rej_ref))
+
+    def test_public_walk_batch_size_invariant(self):
+        """The graph-path bitstream must not depend on batch size: walker i's
+        walk is identical whether launched in a batch of 256 or 4608 (the
+        freerun engine keys every draw on the global walker id, and dispatch
+        no longer switches samplers across a batch-size threshold)."""
+        g = random_graph(300, 6, seed=21)
+        big = jnp.arange(4608, dtype=jnp.int32) % g.num_nodes
+        w_big = walk(g, target_nodes=big, p=0.5, q=2.0, walk_length=10,
+                     seed=9)
+        w_small = walk(g, target_nodes=big[:256], p=0.5, q=2.0,
+                       walk_length=10, seed=9)
+        np.testing.assert_array_equal(np.asarray(w_big)[:256],
+                                      np.asarray(w_small))
 
     def test_clear_graph_caches_transparent(self):
         """Dropping the lazy cuckoo/fat6 device tables mid-pipeline (the

@@ -34,7 +34,25 @@ def test_golden_uniform_walk():
 
 
 def test_golden_node2vec_walk():
+    """Pins the CSRGraph-path bitstream: the freerun MIXTURE sampler at
+    every batch size (regenerated when dispatch unified the graph entry
+    point on one sampler family; verified equal to the jnp
+    node2vec_walk_csr_mixture reference, whose law is oracle-checked in
+    test_fatwalk.TestMixtureSampler)."""
     walks = trw.walk(toy_csr(), target_nodes=jnp.arange(5, dtype=jnp.int32),
+                     p=0.5, q=2.0, walk_length=6, seed=10)
+    expected = [[0, 1, 0, 1, 0, 1, 0], [1, 3, 2, 0, 2, 1, 2],
+                [2, 3, 2, 3, 2, 3, 4], [3, 4, 3, 4, 3, 4, 3],
+                [4, 0, 4, 3, 4, 3, 2]]
+    np.testing.assert_array_equal(np.asarray(walks), expected)
+
+
+def test_golden_node2vec_walk_raw_arrays():
+    """Pins the raw-array-path bitstream: the reference-shaped rejection
+    sampler (unchanged from round 1 — these are the values the round-1
+    graph path produced)."""
+    g = toy_csr()
+    walks = trw.walk(g.row_ptr, g.col_idx, jnp.arange(5, dtype=jnp.int32),
                      p=0.5, q=2.0, walk_length=6, seed=10)
     expected = [[0, 1, 0, 1, 0, 2, 1], [1, 3, 2, 3, 1, 2, 1],
                 [2, 3, 1, 3, 1, 3, 1], [3, 4, 3, 4, 0, 4, 0],

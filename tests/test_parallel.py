@@ -37,14 +37,16 @@ def test_data_parallel_bitwise_matches_single_device():
 
 
 def test_data_parallel_biased_matches_single_device():
+    """dp biased walks must equal the PRODUCTION single-chip path — the
+    public walk(CSRGraph, ...), i.e. the freerun mixture engine — not just
+    some engine: the claim is that sharding never changes the bitstream."""
     csr = toy_csr()
     mesh = make_mesh()
     targets = jnp.tile(jnp.arange(5, dtype=jnp.int32), 16)
     dp = walk_data_parallel(csr, targets, mesh, p=0.5, q=2.0, walk_length=8,
                             seed=7)
-    single = trw.ops.node2vec_walk_csr(csr.row_ptr, csr.col_idx, targets, 0.5,
-                                       2.0, 8, 7,
-                                       search_iters=csr.search_iters)
+    single = trw.walk(csr, target_nodes=targets, p=0.5, q=2.0, walk_length=8,
+                      seed=7)
     np.testing.assert_array_equal(np.asarray(dp), np.asarray(single))
 
 

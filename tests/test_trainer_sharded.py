@@ -81,6 +81,30 @@ def test_sharded_windows_mode_still_learns():
     assert losses[-1] < losses[0]
 
 
+def test_sharded_biased_matches_single_device_loss():
+    """Biased (node2vec) sampling inside the sharded step must run the same
+    freerun mixture engine — hence the same walks and loss — as the
+    unsharded Node2Vec trainer (the fat6 tables ride into the jitted step
+    as replicated arguments)."""
+    mesh = make_mesh((8,), ("data",))
+    g = toy_graph()
+    cfg_s = ShardedNode2VecConfig(dim=8, walk_length=6, window_size=3,
+                                  p=0.5, q=2.0, learning_rate=1e-2, seed=3)
+    trainer = ShardedNode2Vec(g, mesh, cfg_s)
+    p_s, o_s = trainer.init()
+    targets = np.arange(32, dtype=np.int32) % g.num_nodes
+    _, _, loss_sharded = trainer.train_step(p_s, o_s, targets, epoch=0)
+
+    n2v = Node2Vec(g, Node2VecConfig(dim=8, walk_length=6, window_size=3,
+                                     p=0.5, q=2.0, learning_rate=1e-2,
+                                     seed=3))
+    p1, o1 = n2v.init()
+    _, _, loss_single = n2v.epoch_step(
+        p1, o1, jnp.asarray(targets), jnp.uint32(0))
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+
+
 def test_sharded_matches_single_device_loss():
     """First-step loss must equal the unsharded fused trainer's (same seeds,
     same walk engine, SPMD is numerics-preserving for this graph size)."""

@@ -116,16 +116,29 @@ def train_main(argv=None):
         return {"params": params, "opt": opt_state}
 
     params, opt_state = n2v.init()
-    ckpt_dir = args.checkpoint_dir or tempfile.mkdtemp(prefix="trw_train_")
+    # Without --checkpoint-dir no periodic snapshots are written (a user
+    # who didn't ask for checkpoints shouldn't pay multi-GB table dumps
+    # every N epochs); a scratch dir exists only so a SIGTERM preemption
+    # can still save once, and is removed after a clean run.
+    scratch = None if args.checkpoint_dir else tempfile.mkdtemp(
+        prefix="trw_train_")
     result = run_resumable(
         step_fn, {"params": params, "opt": opt_state}, args.epochs,
-        ElasticConfig(ckpt_dir=ckpt_dir, every_steps=args.checkpoint_every,
+        ElasticConfig(ckpt_dir=args.checkpoint_dir or scratch,
+                      every_steps=(args.checkpoint_every
+                                   if args.checkpoint_dir
+                                   else args.epochs + 1),
                       heartbeat_path=args.heartbeat or None,
                       max_retries=args.max_retries,
                       save_final=bool(args.checkpoint_dir)))
     if result.preempted:
-        log.warning("preempted at epoch %d (checkpointed; rerun to resume)",
-                    result.steps_done)
+        log.warning("preempted at epoch %d (checkpointed to %s; rerun with "
+                    "--checkpoint-dir to resume)", result.steps_done,
+                    args.checkpoint_dir or scratch)
+    elif scratch is not None:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     emb = np.asarray(n2v.embeddings(result.state["params"]))
     np.save(args.out, emb)
     metrics.close()

@@ -21,12 +21,27 @@ def load_npz(path: str) -> CSRGraph:
         return CSRGraph.from_edges(data["src"], data["dst"], num_nodes=n)
 
 
+def _atomic_savez(path: str, compressed: bool = False, **arrays) -> None:
+    """Write-to-temp + os.replace so an interrupted save never leaves a
+    truncated .npz at the final path (a corrupt cache would otherwise win
+    the os.path.exists check on every later load)."""
+    # (the tmp name must keep the .npz suffix — np.savez appends it
+    # otherwise and the os.replace source would not exist)
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        (np.savez_compressed if compressed else np.savez)(tmp, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def save_npz(path: str, src, dst, num_nodes: int | None = None) -> None:
     arrays = {"src": np.asarray(src, np.int64),
               "dst": np.asarray(dst, np.int64)}
     if num_nodes is not None:
         arrays["num_nodes"] = np.int64(num_nodes)
-    np.savez_compressed(path, **arrays)
+    _atomic_savez(path, compressed=True, **arrays)
 
 
 def load_ogbn(name: str, root: str = "dataset", symmetrize: bool = True):
@@ -97,20 +112,28 @@ def load_planetoid(name: str, root: str = "dataset"):
                               for k, v in adj.items()]) if adj else np.zeros(0)
         dst = np.concatenate([np.asarray(v, np.int64)
                               for v in adj.values()]) if adj else np.zeros(0)
-        n = int(max(src.max(), dst.max())) + 1 if src.size else 0
+        # num_nodes from the adjacency KEYS, not just edge endpoints: real
+        # Citeseer has isolated nodes (empty neighbor lists, some in the
+        # test split), which contribute no edge — endpoint-max undercounts
+        # and labels[test_index] then indexes out of bounds.
+        n = max(len(adj),
+                int(max(adj.keys())) + 1 if adj else 0,
+                int(max(src.max(), dst.max())) + 1 if src.size else 0)
+        tidx = os.path.join(root, f"ind.{name}.test.index")
+        test_index = (np.loadtxt(tidx, dtype=np.int64).reshape(-1)
+                      if os.path.exists(tidx) else None)
+        if test_index is not None and test_index.size:
+            n = max(n, int(test_index.max()) + 1)
         g = CSRGraph.from_edges(src, dst, num_nodes=n, symmetrize=True)
         labels = None
         ally = os.path.join(root, f"ind.{name}.ally")
         ty = os.path.join(root, f"ind.{name}.ty")
-        tidx = os.path.join(root, f"ind.{name}.test.index")
-        if all(os.path.exists(p) for p in (ally, ty, tidx)):
-            import pickle
-
+        if test_index is not None and all(os.path.exists(p)
+                                          for p in (ally, ty)):
             with open(ally, "rb") as f:
                 y_all = pickle.load(f, encoding="latin1")
             with open(ty, "rb") as f:
                 y_test = pickle.load(f, encoding="latin1")
-            test_index = np.loadtxt(tidx, dtype=np.int64)
             labels = np.full(n, -1, np.int64)
             labels[: y_all.shape[0]] = np.asarray(y_all).argmax(1)
             order = np.sort(test_index)
@@ -192,6 +215,6 @@ def products_shape_graph(root: str = "dataset") -> CSRGraph:
                                         sort_rows=False)
     graph = synthetic_power_law(2_449_029, 50, 0)
     os.makedirs(root, exist_ok=True)
-    np.savez(cache, row_ptr=np.asarray(graph.row_ptr),
-             col_idx=np.asarray(graph.col_idx))
+    _atomic_savez(cache, row_ptr=np.asarray(graph.row_ptr),
+                  col_idx=np.asarray(graph.col_idx))
     return graph

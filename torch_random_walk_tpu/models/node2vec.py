@@ -129,14 +129,14 @@ class Node2Vec:
             if cfg.p == 1.0 and cfg.q == 1.0:
                 ht = g.edge_tab[:1]  # placeholder; unused on the uniform path
             else:
-                from torch_random_walk_tpu.ops import fatwalk
                 from torch_random_walk_tpu.ops.walk import edge_set_for, fat6_for
 
                 self._edge_set = edge_set_for(g)
                 ht = self._edge_set.table
-                nw = int(targets.shape[0])
-                if fatwalk.rejection_branch(cfg.p, cfg.q, nw, True) == "bloom":
-                    bt = fat6_for(g)
+                # Freerun mixture engine at every batch size (same bitstream
+                # rule as ops.walk.walk — sampler choice must not depend on
+                # batch size).
+                bt = fat6_for(g)
             return self._fat_step(params, opt_state, targets, epoch,
                                   g.edge_tab, g.node_tab, ht, bt)
         return self._jnp_step(params, opt_state, targets, epoch, g.row_ptr,

@@ -164,11 +164,19 @@ def rejection_branch(p: float, q: float, num_walkers: int,
     supplied), 'speculative' (narrow frozen band), or 'hierarchical'
     (compacted straggler levels).  Single source of truth for the dispatch —
     tests assert against it so every branch is provably exercised
-    (VERDICT r1 weakness #1)."""
-    if num_walkers < 4096:
-        return "small"
+    (VERDICT r1 weakness #1).
+
+    The bloom/freerun branch is taken whenever wide fat tables are supplied,
+    at ANY batch size: its bitstream depends only on (seed, global walker id,
+    sampler) — never on batch size, chunking, block length, or compaction
+    capacity — so chunked launches (walker_offset) and data-parallel
+    shardings reproduce the full-batch walks exactly.  Gating it on
+    num_walkers would silently switch samplers (hence walks) across the
+    threshold."""
     if has_bloom:
         return "bloom"
+    if num_walkers < 4096:
+        return "small"
     _, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
     lo_acc = min(prob_1, prob_2)
     band = max(prob_1, prob_2) - lo_acc

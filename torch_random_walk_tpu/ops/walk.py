@@ -169,10 +169,12 @@ def walk(row_ptr, col_idx=None, target_nodes=None, p=1.0, q=1.0,
                 return _uniform_fat(g.edge_tab, g.node_tab, target_nodes,
                                     meta, int(walk_length), int(seed))
             es = edge_set_for(g)
-            nw = int(target_nodes.shape[0])
-            ft = (fat6_for(g)
-                  if fatwalk.rejection_branch(p, q, nw, True) == "bloom"
-                  else None)
+            # Always the freerun mixture engine (fat6 supplied), at every
+            # batch size: the CSRGraph biased bitstream must not depend on
+            # batch size or entry point (walk == walk_data_parallel ==
+            # ShardedNode2Vec for the same seed/walker ids).  The raw-array
+            # form below keeps the reference-shaped rejection bitstream.
+            ft = fat6_for(g)
             return _biased_fat(g.edge_tab, g.node_tab, es.table, target_nodes,
                                meta, es.log_size, es.salt, float(p), float(q),
                                int(walk_length), int(seed), ft)

@@ -92,8 +92,13 @@ class RoutedConfig:
         and lags phases instead of dropping."""
         pair = int(balance * max(num_walkers // max(num_shards ** 2, 1), 1))
         pair = max((pair + 127) // 128 * 128, 128)
-        log = int(balance * num_walkers * (walk_length + 1)
-                  // max(num_shards, 1))
+        # Worst-case log: total entries are exactly B*(L+1), so sizing every
+        # shard for ALL of them makes the default truly zero-drop even when
+        # one shard owns every hot node (absorbing/hub-skewed graphs).  12
+        # bytes/slot — ~125MB/shard at B=128K, L=80 — is cheap next to the
+        # graph shard itself; balance-scaled sizing (4x the even share) hit
+        # the loud RuntimeError on skew.
+        log = num_walkers * (walk_length + 1)
         log = max((log + 127) // 128 * 128, 256)
         # max_phases only bounds the while_loop (it exits on inflight == 0
         # first), so cover worst-case carry queueing — a fully skewed step
@@ -184,18 +189,17 @@ def _make_a2a(exchange: str, axis: str, nshards: int, interpret: bool):
 @functools.lru_cache(maxsize=64)
 def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
                         shard_nodes: int, num_walkers: int, walk_length: int,
-                        seed: int, cap: int, ccap: int, log_cap: int,
+                        cap: int, ccap: int, log_cap: int,
                         max_phases: int, exchange: str,
                         exchange_interpret: bool):
     """Build (and cache) the jitted shard_map for one routed-walk shape.
 
-    Everything that shapes the HLO is in the cache key, so repeated
-    epochs/bench iterations reuse the compiled executable instead of
-    retracing the phase while_loop each call."""
-    key = prng.derive_key(seed, prng.STREAM_CSR_UNIFORM)
+    Everything that shapes the HLO is in the cache key; the derived threefry
+    key arrives as a TRACED (2,) uint32 argument, so per-epoch seeds reuse
+    the compiled executable instead of retracing the phase while_loop."""
     sentinel = jnp.uint32(0xFFFFFFFF)
 
-    def shard_fn(meta, col, tgt_local):
+    def shard_fn(key, meta, col, tgt_local):
         meta = meta[0]          # (S, 2) [start, deg] local rows
         col = col[0]            # (E_max,) global neighbor ids
         my = lax.axis_index(axis)
@@ -297,7 +301,7 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis)),
             # The interpreted Pallas exchange mixes varying/invariant types
             # inside its HLO interpreter; vma checking must be off for it.
@@ -328,11 +332,14 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
     targets = jax.device_put(
         jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
     fn = _routed_uniform_jit(mesh, axis, nshards, pgraph.shard_nodes,
-                             num_walkers, walk_length, int(seed),
+                             num_walkers, walk_length,
                              cfg.pair_capacity, cfg.carry, cfg.log_capacity,
                              cfg.max_phases, exchange,
                              bool(exchange_interpret))
-    logs, stats = fn(meta_sh, col_sh, targets)
+    key = jax.device_put(
+        jnp.stack(prng.derive_key(int(seed), prng.STREAM_CSR_UNIFORM)),
+        NamedSharding(mesh, P()))
+    logs, stats = fn(key, meta_sh, col_sh, targets)
 
     walks = _assemble(logs, num_walkers, walk_length)
     stats = np.asarray(stats)
@@ -435,11 +442,14 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
     targets = jax.device_put(jnp.asarray(target_nodes, jnp.int32), sharding)
 
     fn = _routed_n2v_jit(mesh, axis, nshards, pgraph.shard_nodes,
-                         num_walkers, walk_length, int(seed), float(p),
+                         num_walkers, walk_length, float(p),
                          float(q), int(spec_rounds), int(hash_log),
                          cfg.pair_capacity, cfg.carry, cfg.log_capacity,
                          cfg.max_phases, exchange, bool(exchange_interpret))
-    logs, stats = fn(meta_sh, col_sh, ht_sh, salts_sh, bloom_sh, targets)
+    key = jax.device_put(
+        jnp.stack(prng.derive_key(int(seed), prng.STREAM_CSR_BIASED)),
+        NamedSharding(mesh, P()))
+    logs, stats = fn(key, meta_sh, col_sh, ht_sh, salts_sh, bloom_sh, targets)
     walks = _assemble(logs, num_walkers, walk_length)
     stats = np.asarray(stats)
     info = {
@@ -457,22 +467,22 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
 
 @functools.lru_cache(maxsize=64)
 def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
-                    num_walkers: int, walk_length: int, seed: int, p: float,
+                    num_walkers: int, walk_length: int, p: float,
                     q: float, spec_rounds: int, hash_log: int, cap: int,
                     ccap: int, log_cap: int, max_phases: int, exchange: str,
                     exchange_interpret: bool):
     """Cached jitted shard_map builder for the routed node2vec engine (same
-    rationale as _routed_uniform_jit: no retrace across epochs/iters)."""
+    rationale as _routed_uniform_jit: the threefry key is a traced argument,
+    so per-epoch seeds never retrace)."""
     from torch_random_walk_tpu.graph.hashset import _hash_jnp_traced
     from torch_random_walk_tpu.ops import common
 
-    key = prng.derive_key(seed, prng.STREAM_CSR_BIASED)
     prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
     lo_acc = min(prob_1, prob_2)
     hi_acc = max(prob_1, prob_2)
     sentinel = _SENTINEL
 
-    def shard_fn(meta, col, ht, salt, bloom, tgt_local):
+    def shard_fn(key, meta, col, ht, salt, bloom, tgt_local):
         meta = meta[0]
         col = col[0]
         ht = ht[0]
@@ -717,7 +727,8 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis)),
             out_specs=(P(axis), P(axis)),
             check_vma=(exchange != "pallas"),
         )

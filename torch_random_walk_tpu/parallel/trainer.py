@@ -83,13 +83,20 @@ class ShardedNode2Vec:
             self.edge_tab = jax.device_put(graph.edge_tab, self._repl)
             self.node_tab = jax.device_put(graph.node_tab, self._repl)
             if not (config.p == 1.0 and config.q == 1.0):
-                from torch_random_walk_tpu.ops.walk import edge_set_for
+                from torch_random_walk_tpu.ops.walk import edge_set_for, fat6_for
 
                 self._edge_set = edge_set_for(graph)
                 self.hash_table = jax.device_put(self._edge_set.table,
                                                  self._repl)
+                # Wide fat tables for the freerun mixture engine — the same
+                # bitstream as single-chip ops.walk.walk (sampler choice
+                # must not depend on entry point or batch size).
+                e6, n6 = fat6_for(graph)
+                self.fat6 = (jax.device_put(e6, self._repl),
+                             jax.device_put(n6, self._repl))
             else:
                 self.hash_table = self.edge_tab[:1]  # unused placeholder
+                self.fat6 = (self.edge_tab[:1], self.edge_tab[:1])
 
     def init(self):
         """Initialize params + opt state already laid out on the mesh."""
@@ -103,9 +110,9 @@ class ShardedNode2Vec:
         )
         return params, opt_state
 
-    def _sample(self, targets, seed, g1, g2, g3):
+    def _sample(self, targets, seed, g1, g2, g3, g4, g5):
         """Walk sampling inside the jitted step; graph tables arrive as
-        arguments (g1..g3), never closed over."""
+        arguments (g1..g5), never closed over."""
         cfg = self.config
         if self._use_fat:
             from torch_random_walk_tpu.ops import fatwalk
@@ -118,7 +125,8 @@ class ShardedNode2Vec:
             es = self._edge_set
             return fatwalk.node2vec_walk_fat(g1, g2, g3, targets, meta,
                                              es.log_size, es.salt, cfg.p,
-                                             cfg.q, cfg.walk_length, seed)
+                                             cfg.q, cfg.walk_length, seed,
+                                             fat6=(g4, g5))
         if cfg.p == 1.0 and cfg.q == 1.0:
             return uniform_walk_csr(g1, g2, targets, cfg.walk_length, seed)
         return node2vec_walk_csr(g1, g2, targets, cfg.p, cfg.q,
@@ -126,10 +134,10 @@ class ShardedNode2Vec:
                                  search_iters=self.graph.search_iters)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _jit_step(self, params, opt_state, targets, epoch, g1, g2, g3):
+    def _jit_step(self, params, opt_state, targets, epoch, g1, g2, g3, g4, g5):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
-        walks = self._sample(targets, seed, g1, g2, g3)
+        walks = self._sample(targets, seed, g1, g2, g3, g4, g5)
         if cfg.train_mode == "block":
             from torch_random_walk_tpu.models.skipgram import (
                 shared_negative_ids,
@@ -156,8 +164,10 @@ class ShardedNode2Vec:
             jnp.asarray(target_nodes, jnp.int32), self._dp)
         if self._use_fat:
             g1, g2, g3 = self.edge_tab, self.node_tab, self.hash_table
+            g4, g5 = self.fat6
         else:
             g1, g2, g3 = self.row_ptr, self.col_idx, self.row_ptr[:1]
+            g4, g5 = g3, g3
         with jax.set_mesh(self.mesh):
             return self._jit_step(params, opt_state, targets,
-                                  jnp.uint32(epoch), g1, g2, g3)
+                                  jnp.uint32(epoch), g1, g2, g3, g4, g5)

@@ -45,18 +45,31 @@ def walk_data_parallel(graph: CSRGraph, target_nodes, mesh, p=1.0, q=1.0,
                 out_shardings=shard,
             )
             return fn(edge_tab, node_tab, targets)
-        from torch_random_walk_tpu.ops.walk import edge_set_for
+        from torch_random_walk_tpu.ops.walk import edge_set_for, fat6_for
 
         es = edge_set_for(graph)
         hash_table = jax.device_put(es.table, repl)
+        # Wide fat tables ride along (replicated) so the dp walk runs the
+        # SAME freerun mixture engine — hence the same bitstream — as the
+        # single-chip ops.walk.walk production path.  Passed as traced
+        # arguments, never closed over (closure constants bake multi-GB
+        # tables into the HLO).
+        e6, n6 = fat6_for(graph)
+        e6 = jax.device_put(e6, repl)
+        n6 = jax.device_put(n6, repl)
+
+        def biased(et, nt, ht, tg, f_e6, f_n6):
+            return fatwalk.node2vec_walk_fat(
+                et, nt, ht, tg, meta=meta, hash_log_size=es.log_size,
+                hash_salt=es.salt, p=p, q=q, walk_length=walk_length,
+                seed=seed, fat6=(f_e6, f_n6))
+
         fn = jax.jit(
-            partial(fatwalk.node2vec_walk_fat, meta=meta,
-                    hash_log_size=es.log_size, hash_salt=es.salt, p=p, q=q,
-                    walk_length=walk_length, seed=seed),
-            in_shardings=(repl, repl, repl, shard),
+            biased,
+            in_shardings=(repl, repl, repl, shard, repl, repl),
             out_shardings=shard,
         )
-        return fn(edge_tab, node_tab, hash_table, targets)
+        return fn(edge_tab, node_tab, hash_table, targets, e6, n6)
 
     row_ptr = jax.device_put(graph.row_ptr, repl)
     col_idx = jax.device_put(graph.col_idx, repl)
