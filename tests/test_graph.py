@@ -169,6 +169,37 @@ class TestDatasets:
         assert row_ptr[-1] == g.num_edges
         np.testing.assert_array_equal(labels, [0, 1, 2, 1, 2])
 
+    def test_load_planetoid_isolated_test_nodes(self, tmp_path):
+        """Real Citeseer has ISOLATED nodes in the test split (empty
+        adjacency lists — no edge mentions them).  num_nodes must come from
+        the adjacency keys/test index, not just edge endpoints, or
+        labels[test_index] indexes out of bounds and the graph undercounts
+        nodes (r2 review finding)."""
+        import pickle
+
+        import numpy as np
+        from torch_random_walk_tpu.graph import datasets
+
+        # Node 4 is isolated (highest index, empty list): endpoint-max
+        # would undercount to 4 nodes.
+        adj = {0: [1, 2], 1: [0], 2: [0, 3], 3: [2], 4: []}
+        with open(tmp_path / "ind.citeseer.graph", "wb") as f:
+            pickle.dump(adj, f)
+        y_all = np.eye(3)[[0, 1, 2]]
+        y_test = np.eye(3)[[2, 1]]
+        test_index = np.array([4, 3])
+        with open(tmp_path / "ind.citeseer.ally", "wb") as f:
+            pickle.dump(y_all, f)
+        with open(tmp_path / "ind.citeseer.ty", "wb") as f:
+            pickle.dump(y_test, f)
+        np.savetxt(tmp_path / "ind.citeseer.test.index", test_index, fmt="%d")
+        g, labels = datasets.load_planetoid("citeseer", root=str(tmp_path))
+        assert g.num_nodes == 5
+        np.testing.assert_array_equal(labels, [0, 1, 2, 1, 2])
+        # the isolated node is a dead end the walk engines absorb at
+        deg = np.diff(np.asarray(g.row_ptr))
+        assert deg[4] == 0
+
     def test_load_planetoid_missing_raises(self, tmp_path):
         import pytest
 
