@@ -13,8 +13,9 @@ ids).  Each walk step, inside ``shard_map``:
 This exchange-by-reduction keeps every shape static (SURVEY.md §7 hard part 3
 — no ragged all-to-all capacity planning) at the cost of O(num_walkers)
 collective bytes per step, which is negligible next to the graph gathers.
-A sorted ``all_to_all`` walker-routing variant that sends each walker only to
-its owner is the planned optimization once profiling justifies it.
+The owner-routed ``all_to_all`` variant that sends each walker only to its
+owner is implemented in parallel/partition_v2.py (the production engine);
+this module is kept as the simpler cross-check implementation.
 
 RNG draws are keyed on global walker ids, so partitioned walks are
 bit-identical to single-device walks (verified in tests/test_parallel.py).
@@ -210,8 +211,9 @@ def walk_partitioned_node2vec(pgraph: PartitionedCSR, hashes, target_nodes,
     counters, same acceptance).  Each rejection round costs two psums over
     ICI: one combining candidate draws from the owners of each walker's
     current node, one combining the distance-1 answer from the owners of the
-    previous node.  Rounds are synchronized full-batch (straggler compaction
-    inside shard_map is a planned optimization; see BENCHLOG.md).
+    previous node.  Rounds are synchronized full-batch; the production
+    engine (parallel/partition_v2.walk_partitioned_node2vec_routed) replaces
+    them with owner-routed records and one all_to_all per phase.
 
     ``hashes`` is build_partition_hashes(pgraph, graph).
     """
