@@ -258,6 +258,23 @@ def main():
                        iters=max(2, args.iters // 2))
     train_sps = train_targets.shape[0] * 16 / dt_train
 
+    # Touched-rows (lazy) Adam variant: optimizer/gradient traffic scales
+    # with the batch's unique rows instead of the vocabulary.
+    del params, opt_state
+    n2v_s = Node2Vec(graph, Node2VecConfig(dim=args.train_dim, walk_length=16,
+                                           window_size=5, p=1.0, q=1.0,
+                                           dtype=train_dtype,
+                                           update_mode="sparse"))
+    params_s, opt_s = n2v_s.init()
+
+    def train_sparse_fn(p, o, t):
+        return n2v_s.epoch_step(p, o, t, jnp.uint32(1))
+
+    dt_train_s = time_fn(train_sparse_fn, params_s, opt_s, train_targets,
+                         iters=max(2, args.iters // 2))
+    train_sparse_sps = train_targets.shape[0] * 16 / dt_train_s
+    del params_s, opt_s
+
     value = biased_sps  # headline: the harder (node2vec) sampling path
     baseline_path = os.path.join(os.path.dirname(__file__) or ".",
                                  "BENCH_BASELINE.json")
@@ -275,6 +292,7 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "uniform_node_steps_per_sec": round(uniform_sps, 1),
         "fused_train_node_steps_per_sec": round(train_sps, 1),
+        "fused_train_sparse_node_steps_per_sec": round(train_sparse_sps, 1),
         "train_dtype": train_dtype,
         "platform": platform,
         "dataset": dataset_name,

@@ -34,7 +34,8 @@ def holdout_edges(edges: np.ndarray, frac: float, seed: int):
     return edges[perm[k:]], edges[perm[:k]]  # train, test
 
 
-def run_small(name: str, data_root: str, seed: int = 0):
+def run_small(name: str, data_root: str, seed: int = 0,
+              update_mode: str = "dense"):
     import jax.numpy as jnp
 
     from torch_random_walk_tpu.graph.csr import CSRGraph
@@ -75,7 +76,8 @@ def run_small(name: str, data_root: str, seed: int = 0):
     # BASELINE.json config 2: node2vec p=0.5, q=2.0.
     cfg = Node2VecConfig(dim=128, walk_length=40, window_size=5,
                          walks_per_node=8, p=0.5, q=2.0,
-                         learning_rate=2.5e-2, seed=seed)
+                         learning_rate=2.5e-2, seed=seed,
+                         update_mode=update_mode)
     n2v = Node2Vec(train_graph, cfg)
     t0 = time.time()
     params, losses = n2v.train(num_epochs=150)
@@ -97,7 +99,9 @@ def run_small(name: str, data_root: str, seed: int = 0):
         "config": ("node2vec p=0.5 q=2.0 dim=128 L=40 W=5 x8walks 150ep "
                    f"{cfg.train_mode}"
                    + (f" S={cfg.shared_negatives}"
-                      if cfg.train_mode == "block" else "")),
+                      if cfg.train_mode == "block" else "")
+                   + (" sparse-adam"
+                      if cfg.update_mode == "sparse" else "")),
         "link_pred_auc": round(float(auc), 4),
         "classification_acc": (round(float(acc), 4)
                                if acc is not None else None),
@@ -203,12 +207,25 @@ def main():
                     help="products-tier epochs (train is ~11s/epoch on v5e;"
                          " the default is a smoke run)")
     ap.add_argument("--batch", type=int, default=65_536)
+    ap.add_argument("--update-mode", default="dense",
+                    choices=["dense", "sparse"],
+                    help="small-tier optimizer ablation: touched-rows lazy "
+                         "Adam vs dense optax.adam")
     args = ap.parse_args()
+
+    import jax
+
+    # Honor an explicit JAX_PLATFORMS export (the tunnel sitecustomize
+    # clobbers the env var; matches bench.py) so CPU runs stay off the TPU.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
 
     results = []
     if args.tier in ("small", "all"):
         for name in ("cora", "citeseer"):
-            r = run_small(name, args.data_root)
+            r = run_small(name, args.data_root,
+                          update_mode=args.update_mode)
             print(json.dumps(r), flush=True)
             results.append(r)
     if args.tier in ("products", "all"):

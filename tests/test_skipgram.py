@@ -136,3 +136,96 @@ def test_skipgram_bf16_tables_learn():
         first = float(loss) if first is None else first
         last = float(loss)
     assert last < first * 0.9, f"bf16 loss did not decrease: {first} -> {last}"
+
+
+class TestSparseAdam:
+    """Touched-rows (lazy) Adam step (SkipGramModel.walk_train_step_sparse)."""
+
+    def _model(self, n, lr=5e-2, dtype=jnp.float32):
+        import optax
+
+        return SkipGramModel(n, dim=8, optimizer=optax.adam(lr),
+                             dtype=dtype, learning_rate=lr)
+
+    def test_matches_dense_when_all_rows_touched(self):
+        """When every node appears among the centers AND walks+negatives
+        every step, lazy == dense Adam: params/loss track optax.adam."""
+        n = 8
+        model = self._model(n)
+        p_d, o_d = model.init(0)
+        p_s, _ = model.init(0)
+        o_s = model.init_sparse_opt_state(p_s)
+        rng = np.random.default_rng(0)
+        for step in range(5):
+            base = rng.integers(0, n, (16, 7)).astype(np.int32)
+            # Window 3 -> centers are columns 1..5: plant all ids there.
+            base[:n, 2] = np.arange(n)
+            walks = jnp.asarray(base)
+            neg = jnp.asarray(np.arange(n, dtype=np.int32))
+            p_d, o_d, l_d = model.walk_train_step(p_d, o_d, walks, neg, 3, 2)
+            p_s, o_s, l_s = model.walk_train_step_sparse(p_s, o_s, walks,
+                                                         neg, 3, 2)
+            np.testing.assert_allclose(float(l_d), float(l_s), rtol=1e-6)
+        for k in ("in_emb", "out_emb"):
+            np.testing.assert_allclose(np.asarray(p_d[k]), np.asarray(p_s[k]),
+                                       rtol=2e-5, atol=1e-7)
+
+    def test_untouched_rows_unchanged(self):
+        """Rows absent from the batch keep their params AND moments bitwise
+        (the lazy semantics; dense Adam would keep decaying them)."""
+        n = 32
+        model = self._model(n)
+        params, _ = model.init(0)
+        opt_state = model.init_sparse_opt_state(params)
+        walks = jnp.asarray(np.full((4, 7), 3, np.int32))
+        neg = jnp.asarray([5, 6], np.int32)
+        before_in = np.asarray(params["in_emb"])
+        before_out = np.asarray(params["out_emb"])
+        params, opt_state, _ = model.walk_train_step_sparse(
+            params, opt_state, walks, neg, 3, 2)
+        after_in = np.asarray(params["in_emb"])
+        after_out = np.asarray(params["out_emb"])
+        touched = np.zeros(n, bool)
+        touched[[3, 5, 6]] = True  # walks visit 3; 5, 6 are negatives
+        np.testing.assert_array_equal(after_out[~touched],
+                                      before_out[~touched])
+        np.testing.assert_array_equal(after_in[~touched],
+                                      before_in[~touched])
+        # out_emb[3] takes the positive-pair gradient (in_emb[3]'s own
+        # gradient is zero on step one: out_emb initializes to zeros).
+        assert not np.array_equal(after_out[3], before_out[3])
+        assert np.asarray(opt_state["mu"]["out_emb"])[~touched].sum() == 0.0
+
+    def test_node2vec_sparse_update_learns_and_checkpoints(self):
+        """End-to-end: update_mode='sparse' trains through Node2Vec, the
+        loss decreases, and the opt-state pytree round-trips through the
+        checkpoint layer."""
+        from torch_random_walk_tpu.utils import checkpoint
+
+        csr = barbell_graph()
+        cfg = Node2VecConfig(dim=8, walk_length=8, window_size=3,
+                             learning_rate=5e-2, seed=1,
+                             update_mode="sparse")
+        n2v = Node2Vec(csr, cfg)
+        params, losses = n2v.train(num_epochs=25)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.9
+        import tempfile
+
+        params, opt_state = n2v.init()
+        with tempfile.TemporaryDirectory() as d:
+            checkpoint.save(d, {"params": params, "opt": opt_state}, 0)
+            restored, step = checkpoint.restore(
+                d, {"params": params, "opt": opt_state})
+        assert step == 0
+        np.testing.assert_array_equal(
+            np.asarray(restored["opt"]["count"]),
+            np.asarray(opt_state["count"]))
+
+    def test_sparse_rejects_windows_mode(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            Node2Vec(barbell_graph(),
+                     Node2VecConfig(update_mode="sparse",
+                                    train_mode="windows"))

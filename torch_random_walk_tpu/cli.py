@@ -85,6 +85,10 @@ def train_main(argv=None):
     ap.add_argument("--max-retries", type=int, default=0,
                     help="restore-and-replay retries on device faults")
     ap.add_argument("--metrics", default="", help="JSONL metrics path")
+    ap.add_argument("--update-mode", default="dense",
+                    choices=["dense", "sparse"],
+                    help="sparse = touched-rows lazy Adam (optimizer "
+                         "traffic scales with the batch, not the vocab)")
     args = ap.parse_args(argv)
 
     from torch_random_walk_tpu.models.node2vec import Node2Vec, Node2VecConfig
@@ -98,7 +102,8 @@ def train_main(argv=None):
     g = _load_graph(args.graph)
     cfg = Node2VecConfig(dim=args.dim, walk_length=args.walk_length,
                          window_size=args.window, p=args.p, q=args.q,
-                         learning_rate=args.lr, seed=args.seed)
+                         learning_rate=args.lr, seed=args.seed,
+                         update_mode=args.update_mode)
     n2v = Node2Vec(g, cfg)
     metrics = MetricsWriter(args.metrics or None)
     import tempfile

@@ -44,6 +44,12 @@ class Node2VecConfig:
     # pure HBM elementwise traffic: S=1024 costs ~24ms/step more than S=256
     # at the bench shape for no measurable quality gain (QUALITY.md).
     shared_negatives: int = 256
+    # "dense" = optax.adam over the full tables each step; "sparse" =
+    # touched-rows lazy Adam (SkipGramModel.walk_train_step_sparse) — the
+    # optimizer/gradient traffic scales with the batch's unique rows
+    # instead of the vocabulary (the ogbn-papers100M-class regime).
+    # "block" train_mode only.
+    update_mode: str = "dense"
 
 
 class Node2Vec:
@@ -52,14 +58,23 @@ class Node2Vec:
     def __init__(self, graph: CSRGraph, config: Node2VecConfig = Node2VecConfig()):
         self.graph = graph
         self.config = config
+        if config.update_mode not in ("dense", "sparse"):
+            raise ValueError(f"unknown update_mode {config.update_mode!r}")
+        if config.update_mode == "sparse" and config.train_mode != "block":
+            raise ValueError("update_mode='sparse' requires "
+                             "train_mode='block'")
         self.model = SkipGramModel(
             graph.num_nodes, config.dim,
             optimizer=optax.adam(config.learning_rate),
             dtype=jnp.dtype(config.dtype),
+            learning_rate=config.learning_rate,
         )
 
     def init(self):
-        return self.model.init(self.config.seed)
+        params, opt_state = self.model.init(self.config.seed)
+        if self.config.update_mode == "sparse":
+            opt_state = self.model.init_sparse_opt_state(params)
+        return params, opt_state
 
     # Jitted steps take the graph tables as ARGUMENTS — closed-over arrays
     # would bake into the compiled program as constants.
@@ -89,9 +104,11 @@ class Node2Vec:
         cfg = self.config
         if cfg.train_mode == "block":
             neg_ids = self._shared_negatives(seed)
-            return self.model.walk_train_step(params, opt_state, walks,
-                                              neg_ids, cfg.window_size,
-                                              cfg.window_size - 1)
+            step = (self.model.walk_train_step_sparse
+                    if cfg.update_mode == "sparse"
+                    else self.model.walk_train_step)
+            return step(params, opt_state, walks, neg_ids, cfg.window_size,
+                        cfg.window_size - 1)
         tgt, pos, neg = to_windows(walks, cfg.window_size,
                                    self.graph.num_nodes, seed)
         return self.model.train_step(params, opt_state, tgt, pos, neg)

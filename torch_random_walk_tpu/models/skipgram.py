@@ -44,11 +44,16 @@ class SkipGramModel:
 
     def __init__(self, num_nodes: int, dim: int = 128,
                  optimizer: optax.GradientTransformation | None = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, learning_rate: float = 1e-3,
+                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
         self.num_nodes = num_nodes
         self.dim = dim
         self.dtype = dtype
-        self.optimizer = optimizer or optax.adam(1e-3)
+        self.optimizer = optimizer or optax.adam(learning_rate)
+        # Adam hyperparameters for the touched-rows (lazy) step; keep them
+        # in sync with ``optimizer`` when passing a custom one.
+        self.learning_rate = learning_rate
+        self.b1, self.b2, self.eps = b1, b2, eps
 
     def init(self, seed: int = 0):
         key = jax.random.key(seed)
@@ -118,6 +123,15 @@ class SkipGramModel:
         # and gradients.  out_emb needs every position (contexts).
         u = params["in_emb"][walks[:, hw: length1 - hw]]  # (B, C, D)
         out_rows = params["out_emb"][walks]      # (B, L+1, D)
+        v_neg = params["out_emb"][neg_ids]       # (S, D)
+        return SkipGramModel._blockwise_loss(u, out_rows, v_neg, hw, num_neg)
+
+    @staticmethod
+    def _blockwise_loss(u, out_rows, v_neg, hw: int, num_neg: int):
+        """The blockwise SGNS math on already-gathered rows (shared by the
+        dense and touched-rows train steps so both compute the identical
+        loss/row-gradients)."""
+        length1 = out_rows.shape[1]
         # Positive logits as 2*hw shifted elementwise dot products — only
         # the needed (B, C) diagonals, never the (B, L+1, L+1) gram matrix
         # (whose fp32 intermediate costs ~14% of the step at B=64K).
@@ -130,10 +144,9 @@ class SkipGramModel:
             logit = jnp.einsum("bcd,bcd->bc", u, v,
                                preferred_element_type=jnp.float32)
             pos_ls = pos_ls + jax.nn.log_sigmoid(logit)
-        v_neg = params["out_emb"][neg_ids]       # (S, D)
         neg_logit = jnp.einsum("bcd,sd->bcs", u, v_neg,
                                preferred_element_type=jnp.float32)
-        neg_w = num_neg / neg_ids.shape[0]
+        neg_w = num_neg / v_neg.shape[0]
         loss = -(pos_ls
                  + neg_w * jax.nn.log_sigmoid(-neg_logit).sum(axis=-1))
         return loss.mean()
@@ -147,6 +160,86 @@ class SkipGramModel:
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def init_sparse_opt_state(self, params):
+        """State for ``walk_train_step_sparse``: fp32 first/second moments
+        shaped like the tables, plus the global Adam step count."""
+        zeros = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), params)
+        return {"mu": zeros,
+                "nu": jax.tree.map(jnp.copy, zeros),
+                "count": jnp.zeros((), jnp.int32)}
+
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def walk_train_step_sparse(self, params, opt_state, walks, neg_ids,
+                               window_size: int, num_neg: int):
+        """Blockwise train step with a TOUCHED-ROWS (lazy) Adam update.
+
+        The dense step materializes full (N, D) gradient tables and runs
+        Adam over every row each step; for vocabularies much larger than
+        the rows a batch touches (ogbn-papers100M-class: N=111M vs ~2M
+        touched at B=64K) that traffic dominates.  Here the loss is
+        computed on gathered sub-tables (same math — _blockwise_loss — so
+        loss and row-gradients are identical to the dense step), rows are
+        deduplicated with a static-size sort, and Adam moments are
+        gathered/updated/scattered for the touched rows only.
+
+        SEMANTICS DIFFER from dense Adam for rows NOT in the batch: lazy
+        Adam leaves their moments (and params) untouched, while dense Adam
+        keeps applying decayed-momentum updates to every row each step.
+        Bias correction uses the global step count.  Downstream-quality
+        parity is validated in benchmarks/quality_run.py; rows touched on
+        every step update identically to optax.adam (tests/test_models.py).
+        Moments are kept in fp32 regardless of table dtype.
+        """
+        n = self.num_nodes
+        length1 = walks.shape[1]
+        hw = window_size // 2
+        centers = walks[:, hw: length1 - hw]
+        # Static-size dedup: sorted unique ids padded with n (out of
+        # bounds) — the padded array doubles as the scatter index, OOB
+        # rows drop.
+        in_ids = jnp.unique(centers.ravel(), size=centers.size,
+                            fill_value=n)
+        out_flat = jnp.concatenate([walks.ravel(), neg_ids])
+        out_ids = jnp.unique(out_flat, size=out_flat.shape[0], fill_value=n)
+        in_loc = jnp.searchsorted(in_ids, centers)
+        out_loc = jnp.searchsorted(out_ids, walks)
+        neg_loc = jnp.searchsorted(out_ids, neg_ids)
+        in_safe = jnp.minimum(in_ids, n - 1)
+        out_safe = jnp.minimum(out_ids, n - 1)
+        subs = {"in": params["in_emb"][in_safe],
+                "out": params["out_emb"][out_safe]}
+
+        def sub_loss(subs):
+            return SkipGramModel._blockwise_loss(
+                subs["in"][in_loc], subs["out"][out_loc],
+                subs["out"][neg_loc], hw, num_neg)
+
+        loss, g = jax.value_and_grad(sub_loss)(subs)
+
+        mu, nu = dict(opt_state["mu"]), dict(opt_state["nu"])
+        count = opt_state["count"] + 1
+        c = count.astype(jnp.float32)
+        params = dict(params)
+        for name, ids, safe, grad in (("in_emb", in_ids, in_safe, g["in"]),
+                                      ("out_emb", out_ids, out_safe,
+                                       g["out"])):
+            g32 = grad.astype(jnp.float32)
+            mu_new = self.b1 * mu[name][safe] + (1.0 - self.b1) * g32
+            nu_new = self.b2 * nu[name][safe] + (1.0 - self.b2) * (g32 * g32)
+            # optax.scale_by_adam's formula (eps_root = 0).
+            mu_hat = mu_new / (1.0 - self.b1 ** c)
+            nu_hat = nu_new / (1.0 - self.b2 ** c)
+            upd = self.learning_rate * mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+            rows = (params[name][safe].astype(jnp.float32) - upd).astype(
+                params[name].dtype)
+            # ids are sorted with the OOB pads (== n) at the tail.
+            kw = dict(mode="drop", indices_are_sorted=True)
+            params[name] = params[name].at[ids].set(rows, **kw)
+            mu[name] = mu[name].at[ids].set(mu_new, **kw)
+            nu[name] = nu[name].at[ids].set(nu_new, **kw)
+        return params, {"mu": mu, "nu": nu, "count": count}, loss
 
     @staticmethod
     def embeddings(params):
