@@ -111,7 +111,7 @@ def run_small(name: str, data_root: str, seed: int = 0,
 
 
 def run_products(data_root: str, seed: int = 0, epochs: int = 3,
-                 batch: int = 65_536):
+                 batch: int = 65_536, update_mode: str = "dense"):
     import jax
     import jax.numpy as jnp
 
@@ -144,7 +144,7 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
 
     cfg = Node2VecConfig(dim=128, walk_length=20, window_size=5,
                          p=1.0, q=1.0, learning_rate=5e-3, seed=seed,
-                         dtype="bfloat16")
+                         dtype="bfloat16", update_mode=update_mode)
     n2v = Node2Vec(graph, cfg)
     params, opt_state = n2v.init()
     t0 = time.time()
@@ -170,7 +170,9 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
         "config": (f"deepwalk dim=128 L=20 W=5 {epochs}ep batch={batch} "
                    f"bf16 table {cfg.train_mode}"
                    + (f" S={cfg.shared_negatives}"
-                      if cfg.train_mode == "block" else "")),
+                      if cfg.train_mode == "block" else "")
+                   + (" sparse-adam"
+                      if cfg.update_mode == "sparse" else "")),
         "link_pred_auc": round(float(auc), 4),
         "final_loss": round(float(loss), 4),
         "train_sec": round(train_sec, 1),
@@ -209,8 +211,8 @@ def main():
     ap.add_argument("--batch", type=int, default=65_536)
     ap.add_argument("--update-mode", default="dense",
                     choices=["dense", "sparse"],
-                    help="small-tier optimizer ablation: touched-rows lazy "
-                         "Adam vs dense optax.adam")
+                    help="optimizer ablation (small + products tiers): "
+                         "touched-rows lazy Adam vs dense optax.adam")
     args = ap.parse_args()
 
     import jax
@@ -230,7 +232,7 @@ def main():
             results.append(r)
     if args.tier in ("products", "all"):
         r = run_products(args.data_root, epochs=args.epochs,
-                         batch=args.batch)
+                         batch=args.batch, update_mode=args.update_mode)
         print(json.dumps(r), flush=True)
         results.append(r)
 
