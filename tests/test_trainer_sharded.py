@@ -81,6 +81,36 @@ def test_sharded_windows_mode_still_learns():
     assert losses[-1] < losses[0]
 
 
+def test_sharded_sparse_update_matches_single_device():
+    """Touched-rows lazy Adam under the dp x mp mesh: the global id sort,
+    psum'd sub-table gradients and feature-local row scatters must
+    reproduce the single-device sparse step (losses AND params after two
+    steps)."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    g = toy_graph()
+    cfg_s = ShardedNode2VecConfig(dim=16, walk_length=6, window_size=3,
+                                  learning_rate=5e-2, seed=3,
+                                  update_mode="sparse")
+    trainer = ShardedNode2Vec(g, mesh, cfg_s)
+    p_s, o_s = trainer.init()
+    targets = np.arange(32, dtype=np.int32) % g.num_nodes
+
+    n2v = Node2Vec(g, Node2VecConfig(dim=16, walk_length=6, window_size=3,
+                                     learning_rate=5e-2, seed=3,
+                                     update_mode="sparse"))
+    p1, o1 = n2v.init()
+    for epoch in range(2):
+        p_s, o_s, loss_sharded = trainer.train_step(p_s, o_s, targets, epoch)
+        p1, o1, loss_single = n2v.epoch_step(
+            p1, o1, jnp.asarray(targets), jnp.uint32(epoch))
+        np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                                   rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_s["in_emb"]),
+                               np.asarray(p1["in_emb"]), rtol=1e-4,
+                               atol=1e-6)
+    assert int(np.asarray(o_s["count"])) == 2
+
+
 def test_sharded_biased_matches_single_device_loss():
     """Biased (node2vec) sampling inside the sharded step must run the same
     freerun mixture engine — hence the same walks and loss — as the

@@ -52,6 +52,15 @@ class ShardedNode2VecConfig:
     # (S, D) negative gradient shards cleanly on the feature axis.
     train_mode: str = "block"
     shared_negatives: int = 256
+    # "sparse" = touched-rows lazy Adam (SkipGramModel.walk_train_step_
+    # sparse) under SPMD: the batch's unique row ids are global (XLA
+    # all-gathers the dp-sharded walk ids for the sort), sub-table
+    # gradients psum over 'data', and the row gathers/scatters stay local
+    # to each feature shard — the optimizer traffic scales with the batch
+    # instead of the vocabulary, which is what makes
+    # ogbn-papers100M-class tables (111M rows) trainable at all.
+    # "block" train_mode only.
+    update_mode: str = "dense"
 
 
 class ShardedNode2Vec:
@@ -62,9 +71,15 @@ class ShardedNode2Vec:
         self.graph = graph
         self.mesh = mesh
         self.config = config
+        if config.update_mode not in ("dense", "sparse"):
+            raise ValueError(f"unknown update_mode {config.update_mode!r}")
+        if config.update_mode == "sparse" and config.train_mode != "block":
+            raise ValueError("update_mode='sparse' requires "
+                             "train_mode='block'")
         self.model = SkipGramModel(
             graph.num_nodes, config.dim,
             optimizer=optax.adam(config.learning_rate),
+            learning_rate=config.learning_rate,
         )
         c = config
         self._repl = NamedSharding(mesh, P())
@@ -102,6 +117,8 @@ class ShardedNode2Vec:
         """Initialize params + opt state already laid out on the mesh."""
         with jax.set_mesh(self.mesh):
             params, opt_state = self.model.init(self.config.seed)
+            if self.config.update_mode == "sparse":
+                opt_state = self.model.init_sparse_opt_state(params)
         params = jax.tree.map(lambda x: jax.device_put(x, self._mp), params)
         opt_state = jax.tree.map(
             lambda x: jax.device_put(x, self._mp)
@@ -145,6 +162,13 @@ class ShardedNode2Vec:
 
             neg_ids = shared_negative_ids(seed, cfg.shared_negatives,
                                           self.graph.num_nodes)
+            if cfg.update_mode == "sparse":
+                # Touched-rows lazy Adam: inlines under this jit, so XLA
+                # lays out the id sort/psum and the feature-local row
+                # scatters over the same mesh as the dense path.
+                return self.model.walk_train_step_sparse(
+                    params, opt_state, walks, neg_ids, cfg.window_size,
+                    cfg.window_size - 1)
             loss, grads = jax.value_and_grad(self.model.walk_loss_fn)(
                 params, walks, neg_ids, cfg.window_size,
                 cfg.window_size - 1)
