@@ -79,6 +79,11 @@ class Node2Vec:
     # Jitted steps take the graph tables as ARGUMENTS — closed-over arrays
     # would bake into the compiled program as constants.
 
+    # NOTE: params/opt_state are deliberately NOT donated here — bench.py
+    # and ad-hoc callers invoke the step repeatedly with the same buffers
+    # (donation would invalidate them after the first call).  The sharded
+    # trainer (parallel/trainer.py), whose train_step is always used in a
+    # rebind loop, does donate.
     @partial(jax.jit, static_argnums=0)
     def _fat_step(self, params, opt_state, targets, epoch, edge_tab,
                   node_tab, hash_table, fat6=None):
