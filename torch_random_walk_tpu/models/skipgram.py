@@ -222,9 +222,9 @@ class SkipGramModel:
         count = opt_state["count"] + 1
         c = count.astype(jnp.float32)
         params = dict(params)
-        for name, ids, safe, grad in (("in_emb", in_ids, in_safe, g["in"]),
-                                      ("out_emb", out_ids, out_safe,
-                                       g["out"])):
+        for name, ids, safe, sub, grad in (
+                ("in_emb", in_ids, in_safe, subs["in"], g["in"]),
+                ("out_emb", out_ids, out_safe, subs["out"], g["out"])):
             g32 = grad.astype(jnp.float32)
             mu_new = self.b1 * mu[name][safe] + (1.0 - self.b1) * g32
             nu_new = self.b2 * nu[name][safe] + (1.0 - self.b2) * (g32 * g32)
@@ -232,8 +232,9 @@ class SkipGramModel:
             mu_hat = mu_new / (1.0 - self.b1 ** c)
             nu_hat = nu_new / (1.0 - self.b2 ** c)
             upd = self.learning_rate * mu_hat / (jnp.sqrt(nu_hat) + self.eps)
-            rows = (params[name][safe].astype(jnp.float32) - upd).astype(
-                params[name].dtype)
+            # ``sub`` already holds the gathered param rows — no second
+            # M-row gather for the update.
+            rows = (sub.astype(jnp.float32) - upd).astype(params[name].dtype)
             # ids are sorted with the OOB pads (== n) at the tail.
             kw = dict(mode="drop", indices_are_sorted=True)
             params[name] = params[name].at[ids].set(rows, **kw)
