@@ -184,15 +184,9 @@ def main():
                         help="JSONL sink for per-point scaling metrics")
     args = parser.parse_args()
 
-    # The ambient tunnel environment force-registers its TPU plugin and
-    # overrides JAX_PLATFORMS at import time (see tests/conftest.py); honor
-    # an explicitly exported JAX_PLATFORMS so the documented CPU-mesh
-    # scaling invocation works.
-    want_platform = os.environ.get("JAX_PLATFORMS", "")
-    if want_platform and "axon" not in want_platform:
-        import jax
+    from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
 
-        jax.config.update("jax_platforms", want_platform)
+    honor_jax_platforms_env()
 
     if args.mode == "scaling":
         run_scaling(args)

@@ -140,12 +140,9 @@ def main():
 
     import jax
 
-    # The tunnel sitecustomize force-registers the TPU plugin and clobbers
-    # JAX_PLATFORMS at import; honor an explicit export (matches bench.py)
-    # so CPU-only runs never touch a busy chip.
-    want = os.environ.get("JAX_PLATFORMS", "")
-    if want and "axon" not in want:
-        jax.config.update("jax_platforms", want)
+    from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     graph, es, targets = build(args)
     steps = args.walkers * args.walk_length

@@ -38,11 +38,9 @@ def main():
 
     import jax
 
-    # Honor an explicit JAX_PLATFORMS export (the tunnel sitecustomize
-    # clobbers the env var; matches bench.py) so CPU runs stay off the TPU.
-    want = os.environ.get("JAX_PLATFORMS", "")
-    if want and "axon" not in want:
-        jax.config.update("jax_platforms", want)
+    from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     import jax.numpy as jnp
 

@@ -215,13 +215,9 @@ def main():
                          "touched-rows lazy Adam vs dense optax.adam")
     args = ap.parse_args()
 
-    import jax
+    from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
 
-    # Honor an explicit JAX_PLATFORMS export (the tunnel sitecustomize
-    # clobbers the env var; matches bench.py) so CPU runs stay off the TPU.
-    want = os.environ.get("JAX_PLATFORMS", "")
-    if want and "axon" not in want:
-        jax.config.update("jax_platforms", want)
+    honor_jax_platforms_env()
 
     results = []
     if args.tier in ("small", "all"):

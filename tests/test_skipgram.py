@@ -229,3 +229,18 @@ class TestSparseAdam:
             Node2Vec(barbell_graph(),
                      Node2VecConfig(update_mode="sparse",
                                     train_mode="windows"))
+
+    def test_sparse_rejects_ambiguous_custom_optimizer(self):
+        """A custom optax optimizer is opaque; the sparse step must refuse
+        to run with the model's default hyperparameters (they would
+        silently diverge from the dense step's)."""
+        import optax
+        import pytest
+
+        model = SkipGramModel(8, dim=4, optimizer=optax.adam(5e-2))
+        params, _ = model.init(0)
+        opt_state = model.init_sparse_opt_state(params)
+        walks = jnp.zeros((2, 7), jnp.int32)
+        neg = jnp.zeros((2,), jnp.int32)
+        with pytest.raises(ValueError, match="learning_rate"):
+            model.walk_train_step_sparse(params, opt_state, walks, neg, 3, 2)

@@ -123,15 +123,18 @@ def train_main(argv=None):
     params, opt_state = n2v.init()
     # Without --checkpoint-dir no periodic snapshots are written (a user
     # who didn't ask for checkpoints shouldn't pay multi-GB table dumps
-    # every N epochs); a scratch dir exists only so a SIGTERM preemption
-    # can still save once, and is removed after a clean run.
+    # every N epochs); a scratch dir exists so a SIGTERM preemption can
+    # still save once, and is removed after a clean run.  EXCEPT when
+    # --max-retries asks for fault replay: retries restore from the last
+    # snapshot, so periodic saves (into scratch if need be) stay on —
+    # otherwise every retry would replay from epoch 0.
     scratch = None if args.checkpoint_dir else tempfile.mkdtemp(
         prefix="trw_train_")
+    periodic = bool(args.checkpoint_dir) or args.max_retries > 0
     result = run_resumable(
         step_fn, {"params": params, "opt": opt_state}, args.epochs,
         ElasticConfig(ckpt_dir=args.checkpoint_dir or scratch,
-                      every_steps=(args.checkpoint_every
-                                   if args.checkpoint_dir
+                      every_steps=(args.checkpoint_every if periodic
                                    else args.epochs + 1),
                       heartbeat_path=args.heartbeat or None,
                       max_retries=args.max_retries,

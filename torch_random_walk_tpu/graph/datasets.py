@@ -24,7 +24,10 @@ def load_npz(path: str) -> CSRGraph:
 def _atomic_savez(path: str, compressed: bool = False, **arrays) -> None:
     """Write-to-temp + os.replace so an interrupted save never leaves a
     truncated .npz at the final path (a corrupt cache would otherwise win
-    the os.path.exists check on every later load)."""
+    the os.path.exists check on every later load).  Mirrors np.savez's
+    auto-append of '.npz' to suffix-less paths."""
+    if not path.endswith(".npz"):
+        path += ".npz"
     # (the tmp name must keep the .npz suffix — np.savez appends it
     # otherwise and the os.replace source would not exist)
     tmp = f"{path}.{os.getpid()}.tmp.npz"

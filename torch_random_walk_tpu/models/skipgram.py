@@ -44,16 +44,20 @@ class SkipGramModel:
 
     def __init__(self, num_nodes: int, dim: int = 128,
                  optimizer: optax.GradientTransformation | None = None,
-                 dtype=jnp.float32, learning_rate: float = 1e-3,
+                 dtype=jnp.float32, learning_rate: float | None = None,
                  b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
         self.num_nodes = num_nodes
         self.dim = dim
         self.dtype = dtype
-        self.optimizer = optimizer or optax.adam(learning_rate)
-        # Adam hyperparameters for the touched-rows (lazy) step; keep them
-        # in sync with ``optimizer`` when passing a custom one.
-        self.learning_rate = learning_rate
+        # Adam hyperparameters for the touched-rows (lazy) step.  A custom
+        # ``optimizer`` is opaque (optax transformations don't expose their
+        # hyperparameters), so the sparse step refuses to run unless
+        # ``learning_rate`` was passed explicitly alongside it — otherwise
+        # the two steps would silently train at different rates.
+        self._sparse_hparams_ok = optimizer is None or learning_rate is not None
+        self.learning_rate = 1e-3 if learning_rate is None else learning_rate
         self.b1, self.b2, self.eps = b1, b2, eps
+        self.optimizer = optimizer or optax.adam(self.learning_rate)
 
     def init(self, seed: int = 0):
         key = jax.random.key(seed)
@@ -189,9 +193,16 @@ class SkipGramModel:
         keeps applying decayed-momentum updates to every row each step.
         Bias correction uses the global step count.  Downstream-quality
         parity is validated in benchmarks/quality_run.py; rows touched on
-        every step update identically to optax.adam (tests/test_models.py).
-        Moments are kept in fp32 regardless of table dtype.
+        every step update identically to optax.adam
+        (tests/test_skipgram.py::TestSparseAdam).  Moments are kept in fp32
+        regardless of table dtype.
         """
+        if not self._sparse_hparams_ok:
+            raise ValueError(
+                "walk_train_step_sparse uses the model's Adam "
+                "hyperparameters, which cannot be read out of a custom "
+                "optax optimizer; pass learning_rate= (and b1/b2/eps if "
+                "non-default) explicitly to SkipGramModel alongside it")
         n = self.num_nodes
         length1 = walks.shape[1]
         hw = window_size // 2

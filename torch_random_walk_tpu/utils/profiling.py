@@ -16,6 +16,23 @@ import jax
 import jax.numpy as jnp
 
 
+def honor_jax_platforms_env() -> None:
+    """Re-apply an explicit JAX_PLATFORMS export after ``import jax``.
+
+    The axon tunnel's sitecustomize force-registers the TPU plugin and
+    clobbers JAX_PLATFORMS at import time, so exporting the env var alone
+    does not keep a CPU-intended run off a (possibly busy or unreachable)
+    chip.  Call this from every bench/CLI entry point after importing jax
+    and before any device use.  No-op when the export is unset or names
+    the axon platform itself.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture an XProf/perfetto trace of the enclosed block."""
