@@ -85,6 +85,19 @@ class TestRoutedUniform:
         with pytest.raises(RuntimeError, match="routed walk incomplete"):
             walk_partitioned_routed(pg, targets, mesh, 8, seed=3, config=cfg)
 
+    def test_default_config_survives_absorbing_log_skew(self, mesh):
+        """Dead-end graphs absorb walkers onto a few nodes, so one shard
+        can log nearly all B*(L+1) entries.  The default RoutedConfig now
+        sizes the log at the true worst case — no manual override, no
+        RuntimeError (r2 review finding: the 'zero-drop default' claim)."""
+        g = random_graph(2000, 6, seed=41, with_dead_ends=True)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 20, seed=9)
+        walks, info = walk_partitioned_routed(pg, targets, mesh, 20, seed=9)
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
     def test_default_config_zero_drop_under_skew(self, mesh):
         """The auto RoutedConfig must never drop records even when every
         walker starts on one shard (carry >= B guarantee)."""
