@@ -164,6 +164,55 @@ def run_scaling(args):
     }))
 
 
+def _fall_back_to_cpu_if_backend_hangs(probe_seconds: int = 240) -> None:
+    """Probe backend init in a SUBPROCESS; on timeout, force CPU here.
+
+    When the axon TPU tunnel is down, ``jax.devices()`` hangs indefinitely
+    inside the plugin (observed 2026-08-18: >4 min with no error), which
+    would make an unattended bench run record nothing at all.  Backend
+    init is behind a process-wide lock, so an in-process thread+timeout
+    cannot recover — probing in a throwaway subprocess (same env, same
+    sitecustomize) and flipping ``jax_platforms`` BEFORE this process
+    first touches a device is the only reliable fallback.  A degraded
+    platform="cpu" JSON line beats a hung round.  No-op when JAX_PLATFORMS
+    is already forcing a platform.
+    """
+    import subprocess
+    import sys
+
+    # The tunnel kernel env exports JAX_PLATFORMS=axon (sitecustomize
+    # relies on it to prevent a SILENT cpu fallback), so "axon" still
+    # means "default TPU init" and must be probed; only a non-axon
+    # export (e.g. cpu for the virtual-mesh runs) skips the probe.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        return
+    # The probe must REPORT the platform it resolved: when the tunnel is
+    # down the plugin fails nondeterministically — sometimes a quick
+    # connection error (jax then silently falls back to CPU, rc=0),
+    # sometimes an indefinite retry loop.  Only an affirmative non-CPU
+    # answer lets this process risk the default init.
+    probe = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform, flush=True)"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    try:
+        out, _ = probe.communicate(timeout=probe_seconds)
+        answer = (out or "").strip().splitlines()[-1:] or [""]
+        answer = answer[0]
+    except subprocess.TimeoutExpired:
+        probe.kill()
+        probe.communicate()
+        answer = "<hang>"
+    if answer in ("cpu", "", "<hang>") or probe.returncode != 0:
+        import jax
+
+        print(f"bench: device backend probe answered {answer!r} "
+              f"(rc={probe.returncode}); forcing CPU",
+              file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", type=str, default="single",
@@ -183,6 +232,12 @@ def main():
     parser.add_argument("--metrics-out", type=str, default="",
                         help="JSONL sink for per-point scaling metrics")
     args = parser.parse_args()
+
+    # ORDER MATTERS: the hang probe runs FIRST and uses only stdlib —
+    # importing the package (the helper below pulls it in) can itself
+    # initialize the jax backend via module-level jnp constants, which is
+    # exactly the hang being guarded against.
+    _fall_back_to_cpu_if_backend_hangs()
 
     from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
 
