@@ -46,6 +46,9 @@ def walk_main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
+    from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     import jax.numpy as jnp
     from torch_random_walk_tpu.ops.walk import walk
     from torch_random_walk_tpu.utils.logging import get_logger
@@ -97,7 +100,9 @@ def train_main(argv=None):
         run_resumable,
     )
     from torch_random_walk_tpu.utils.logging import MetricsWriter, get_logger
+    from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
 
+    honor_jax_platforms_env()
     log = get_logger("trw-train")
     g = _load_graph(args.graph)
     cfg = Node2VecConfig(dim=args.dim, walk_length=args.walk_length,
@@ -165,7 +170,12 @@ def bench_main(argv=None):
     import jax
     import jax.numpy as jnp
     from torch_random_walk_tpu.ops.walk import walk
-    from torch_random_walk_tpu.utils.profiling import StepTimer
+    from torch_random_walk_tpu.utils.profiling import (
+        StepTimer,
+        honor_jax_platforms_env,
+    )
+
+    honor_jax_platforms_env()
 
     g = _load_graph(f"synth:{args.nodes}:{args.degree}")
     targets = jnp.arange(args.walkers, dtype=jnp.int32) % g.num_nodes
