@@ -34,6 +34,7 @@ class TriplesGraph:
     max_degree: int
     triple_tab: jnp.ndarray | None = None  # (T, 4) int32
     node_meta: jnp.ndarray | None = None   # (N, 2) int32
+    num_relations: int = 0
 
     @property
     def search_iters(self) -> int:
@@ -71,6 +72,7 @@ class TriplesGraph:
             max_degree=int(counts.max()) if num_entities else 0,
             triple_tab=triple_tab,
             node_meta=node_meta,
+            num_relations=int(t[:, 1].max()) + 1 if t.size else 0,
         )
 
 

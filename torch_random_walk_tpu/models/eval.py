@@ -80,3 +80,44 @@ def node_classification_accuracy(embeddings, labels, train_frac: float = 0.5,
         b -= lr * g.sum(axis=0)
     pred = (emb[te] @ w + b).argmax(axis=1)
     return float((pred == y_idx[te]).mean())
+
+
+def kg_tail_ranking_metrics(ent_emb, rel_emb, test_triples,
+                            score: str = "transe",
+                            hits=(1, 10), filter_triples=None) -> dict:
+    """Tail-ranking link prediction for KG embeddings: for each (h, r, t)
+    rank every entity as candidate tail by s(h, r, ·) and report the rank
+    of the true tail.  Returns {"mrr": ..., "hits@k": ...}.
+
+    score: 'transe' (-||e_h + w_r - e_t'||) or 'distmult' (<e_h, w_r, e_t'>).
+    Unfiltered by default (raw ranks); pass the full (E, 3) triples array as
+    ``filter_triples`` for the standard filtered protocol (other known-true
+    tails for the same (h, r) are excluded from the ranking).
+    """
+    ent = np.asarray(ent_emb, np.float64)
+    rel = np.asarray(rel_emb, np.float64)
+    test = np.asarray(test_triples).reshape(-1, 3)
+    known = set()
+    if filter_triples is not None:
+        known = {(int(h), int(r), int(t))
+                 for h, r, t in np.asarray(filter_triples)}
+    ranks = []
+    for h, r, t in test:
+        h, r, t = int(h), int(r), int(t)
+        if score == "transe":
+            s = -np.linalg.norm(ent[h] + rel[r] - ent, axis=1)
+        elif score == "distmult":
+            s = ent @ (ent[h] * rel[r])
+        else:
+            raise ValueError(f"unknown score {score!r}")
+        if known:
+            for cand in range(ent.shape[0]):
+                if cand != t and (h, r, cand) in known:
+                    s[cand] = -np.inf
+        # Rank of the true tail (1-based; ties broken pessimistically).
+        ranks.append(1 + int((s > s[t]).sum()))
+    ranks = np.asarray(ranks, np.float64)
+    out = {"mrr": float((1.0 / ranks).mean())}
+    for k in hits:
+        out[f"hits@{k}"] = float((ranks <= k).mean())
+    return out

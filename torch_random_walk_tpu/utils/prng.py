@@ -45,6 +45,7 @@ STREAM_WINDOWS_CBOW = 6
 STREAM_WINDOWS_TRIPLES_SG = 7
 STREAM_WINDOWS_TRIPLES_CBOW = 8
 STREAM_TRAIN = 9
+STREAM_KGE_NEG = 10
 
 # Max rejection rounds folded into one step's counter space.  Each
 # (step, round) pair gets a disjoint counter, so rounds are independent.
