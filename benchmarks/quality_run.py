@@ -180,6 +180,44 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
     }
 
 
+def run_kg(seed: int = 0, side: int = 45, epochs: int = 300,
+           objective: str = "transe"):
+    """KG-embedding quality on the grid-world KG (exact TransE ground
+    truth, filtered tail-ranking protocol — the KG analog of the node
+    tiers' held-out link prediction)."""
+    from torch_random_walk_tpu.graph.datasets import synthetic_grid_kg
+    from torch_random_walk_tpu.models import (
+        KGEmbedding,
+        KGEmbeddingConfig,
+        kg_tail_ranking_metrics,
+    )
+
+    graph, all_triples, test = synthetic_grid_kg(side, seed=seed)
+    cfg = KGEmbeddingConfig(dim=64, walk_length=20, objective=objective,
+                            num_negatives=8, learning_rate=5e-2, seed=seed)
+    tr = KGEmbedding(graph, cfg)
+    t0 = time.time()
+    params, losses = tr.train(epochs)
+    train_sec = time.time() - t0
+    m = kg_tail_ranking_metrics(
+        np.asarray(tr.model.entity_embeddings(params), np.float32),
+        np.asarray(tr.model.relation_embeddings(params), np.float32),
+        test, score=objective, filter_triples=all_triples)
+    return {
+        "dataset": f"grid-kg {side}x{side}",
+        "entities": graph.num_entities,
+        "triples": int(all_triples.shape[0]),
+        "config": (f"{objective} dim=64 L=20 K=8 {epochs}ep "
+                   "(10% held out, filtered ranking; random MRR ~"
+                   f"{round(float(np.log(graph.num_entities)) / graph.num_entities, 4)})"),
+        "mrr": round(m["mrr"], 4),
+        "hits@1": round(m["hits@1"], 4),
+        "hits@10": round(m["hits@10"], 4),
+        "final_loss": round(float(losses[-1]), 4),
+        "train_sec": round(train_sec, 1),
+    }
+
+
 HEADER = """# QUALITY — downstream embedding parity runs
 
 The reference produces sampling batches for an external embedding trainer
@@ -202,7 +240,7 @@ Regenerate: `python benchmarks/quality_run.py --tier all`
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", default="small",
-                    choices=["small", "products", "all"])
+                    choices=["small", "products", "kg", "all"])
     ap.add_argument("--data-root", default="dataset")
     ap.add_argument("--out", default="QUALITY.md")
     ap.add_argument("--epochs", type=int, default=3,
@@ -231,6 +269,12 @@ def main():
                          batch=args.batch, update_mode=args.update_mode)
         print(json.dumps(r), flush=True)
         results.append(r)
+    kg_results = []
+    if args.tier in ("kg", "all"):
+        for objective in ("transe", "distmult"):
+            r = run_kg(objective=objective)
+            print(json.dumps(r), flush=True)
+            kg_results.append(r)
 
     lines = [HEADER, "| dataset | nodes | edges | config | link-pred AUC | "
              "class. acc | loss | train s |", "|---|---|---|---|---|---|---|---|"]
@@ -239,6 +283,17 @@ def main():
             f"| {r['dataset']} | {r['nodes']} | {r['edges']} | {r['config']} "
             f"| {r['link_pred_auc']} | {r.get('classification_acc')} "
             f"| {r['final_loss']} | {r['train_sec']} |")
+    if kg_results:
+        lines += ["", "## KG link prediction (tail ranking over triples "
+                  "walks -> models/kge.py)", "",
+                  "| dataset | entities | triples | config | filtered MRR | "
+                  "hits@1 | hits@10 | loss | train s |",
+                  "|---|---|---|---|---|---|---|---|---|"]
+        for r in kg_results:
+            lines.append(
+                f"| {r['dataset']} | {r['entities']} | {r['triples']} "
+                f"| {r['config']} | {r['mrr']} | {r['hits@1']} "
+                f"| {r['hits@10']} | {r['final_loss']} | {r['train_sec']} |")
     existing = []
     if os.path.exists(args.out):
         with open(args.out) as f:

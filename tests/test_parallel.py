@@ -97,3 +97,43 @@ def test_partitioned_node2vec_bitwise_matches_single_device():
     single = node2vec_walk_csr(csr.row_ptr, csr.col_idx, targets, 0.5, 2.0, 9,
                                seed=17, search_iters=csr.search_iters)
     np.testing.assert_array_equal(np.asarray(part), np.asarray(single))
+
+
+def test_dp_edge_list_bitwise_matches_single_device():
+    """The edge-list family's dp walks equal the public single-device
+    walk_edge_list (both engines: fat-table and jnp), uniform AND biased,
+    restart AND absorbing."""
+    from torch_random_walk_tpu.parallel import walk_edge_list_data_parallel
+
+    g = nx.DiGraph()
+    g.add_edges_from([(0, 1), (1, 2), (2, 3), (0, 2), (3, 0), (2, 4)])
+    # Node 4 dead-ends -> exercises padding/restart.
+    el = trw.to_edge_list_indexed(g)
+    graph = trw.EdgeListGraph.from_arrays(el[0] if isinstance(el, tuple)
+                                          else el, num_nodes=5)
+    mesh = make_mesh()
+    targets = jnp.tile(jnp.arange(5, dtype=jnp.int32), 16)
+    for p, q in [(1.0, 1.0), (0.5, 2.0)]:
+        for restart in (True, False):
+            dp = walk_edge_list_data_parallel(
+                graph, targets, mesh, p=p, q=q, walk_length=9, seed=13,
+                padding_idx=5, restart=restart)
+            single = trw.walk_edge_list(graph, target_nodes=targets, p=p,
+                                        q=q, walk_length=9, seed=13,
+                                        padding_idx=5, restart=restart)
+            np.testing.assert_array_equal(np.asarray(dp), np.asarray(single))
+
+
+def test_dp_triples_bitwise_matches_single_device():
+    from torch_random_walk_tpu.parallel import walk_triples_data_parallel
+
+    triples = np.array([(0, 5, 1), (1, 6, 3), (0, 5, 2), (2, 6, 4),
+                        (2, 7, 1), (0, 6, 3), (3, 7, 0), (3, 6, 2)])
+    graph = trw.TriplesGraph.from_arrays(triples, num_entities=5)
+    mesh = make_mesh()
+    targets = jnp.tile(jnp.arange(5, dtype=jnp.int32), 16)
+    dp = walk_triples_data_parallel(graph, targets, mesh, walk_length=6,
+                                    seed=20, padding_idx=8)
+    single = trw.walk_triples(graph, target_nodes=targets, walk_length=6,
+                              padding_idx=8, seed=20)
+    np.testing.assert_array_equal(np.asarray(dp), np.asarray(single))

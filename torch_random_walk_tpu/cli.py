@@ -158,6 +158,91 @@ def train_main(argv=None):
     log.info("saved %s embeddings -> %s", emb.shape, args.out)
 
 
+def kg_train_main(argv=None):
+    """Train KG embeddings over triples walks (models/kge.py)."""
+    ap = argparse.ArgumentParser(prog="trw-train-kg")
+    ap.add_argument("triples", help=".npz with head/rel/tail arrays, or "
+                                    "grid:<side>[:seed] synthetic")
+    ap.add_argument("-o", "--out", default="kg_embeddings.npz",
+                    help="output .npz with entities/relations arrays")
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--walk-length", type=int, default=20)
+    ap.add_argument("--window", type=int, default=3,
+                    help="context window (skipgram/cbow objectives)")
+    ap.add_argument("--objective", default="transe",
+                    choices=["transe", "distmult", "skipgram", "cbow"])
+    ap.add_argument("--negatives", type=int, default=8,
+                    help="corrupted negatives per positive "
+                         "(transe/distmult)")
+    ap.add_argument("--margin", type=float, default=2.0)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--metrics", default="", help="JSONL metrics path")
+    ap.add_argument("--eval-holdout", type=float, default=0.0,
+                    help=">0 holds out this fraction of triples and prints "
+                         "filtered tail-ranking MRR/Hits@10 after training")
+    args = ap.parse_args(argv)
+
+    from torch_random_walk_tpu.graph.triples import TriplesGraph
+    from torch_random_walk_tpu.models.kge import KGEmbedding, KGEmbeddingConfig
+    from torch_random_walk_tpu.utils.logging import MetricsWriter, get_logger
+    from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    log = get_logger("trw-train-kg")
+    if args.triples.startswith("grid:"):
+        from torch_random_walk_tpu.graph.datasets import synthetic_grid_kg
+
+        parts = args.triples.split(":")
+        side = int(parts[1])
+        seed = int(parts[2]) if len(parts) > 2 else 0
+        _, triples, _ = synthetic_grid_kg(side, seed=seed)
+    else:
+        with np.load(args.triples) as data:
+            triples = np.stack([data["head"], data["rel"], data["tail"]],
+                               axis=1)
+    test = None
+    if args.eval_holdout > 0:
+        rng = np.random.default_rng(args.seed)
+        perm = rng.permutation(triples.shape[0])
+        k = int(args.eval_holdout * triples.shape[0])
+        test, train_triples = triples[perm[:k]], triples[perm[k:]]
+    else:
+        train_triples = triples
+    graph = TriplesGraph.from_arrays(train_triples)
+    cfg = KGEmbeddingConfig(dim=args.dim, walk_length=args.walk_length,
+                            window_size=args.window,
+                            objective=args.objective,
+                            num_negatives=args.negatives, margin=args.margin,
+                            learning_rate=args.lr, seed=args.seed)
+    kge = KGEmbedding(graph, cfg)
+    metrics = MetricsWriter(args.metrics or None)
+    params, opt_state = kge.init()
+    import jax.numpy as jnp
+
+    targets = jnp.arange(graph.num_entities, dtype=jnp.int32)
+    for epoch in range(args.epochs):
+        params, opt_state, loss = kge.epoch_step(params, opt_state, targets,
+                                                 epoch)
+        metrics.emit(epoch=epoch, loss=float(loss))
+        if epoch % 10 == 0:
+            log.info("epoch %d loss %.4f", epoch, float(loss))
+    ent = np.asarray(kge.model.entity_embeddings(params))
+    rel = np.asarray(kge.model.relation_embeddings(params))
+    np.savez(args.out, entities=ent, relations=rel)
+    metrics.close()
+    log.info("saved %s entity + %s relation embeddings -> %s",
+             ent.shape, rel.shape, args.out)
+    if test is not None and args.objective in ("transe", "distmult"):
+        from torch_random_walk_tpu.models.eval import kg_tail_ranking_metrics
+
+        m = kg_tail_ranking_metrics(ent, rel, test, score=args.objective,
+                                    filter_triples=triples)
+        print(json.dumps({"filtered_" + k: round(v, 4)
+                          for k, v in m.items()}))
+
+
 def bench_main(argv=None):
     """Delegates to the repo-root bench harness semantics."""
     ap = argparse.ArgumentParser(prog="trw-bench")

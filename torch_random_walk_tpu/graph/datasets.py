@@ -221,3 +221,34 @@ def products_shape_graph(root: str = "dataset") -> CSRGraph:
     _atomic_savez(cache, row_ptr=np.asarray(graph.row_ptr),
                   col_idx=np.asarray(graph.col_idx))
     return graph
+
+
+def synthetic_grid_kg(side: int = 45, seed: int = 0):
+    """Grid-world knowledge graph with exact TransE ground truth.
+
+    Entities are cells of a side x side grid; relations are translations
+    (0 = east, 1 = north, 2 = east-2, 3 = north-east), so the KG is exactly
+    TransE-representable (e_cell = position, w_r = the offset) and filtered
+    tail-ranking MRR has an unambiguous ceiling of 1.0.  Border cells lack
+    some out-triples and the far corner dead-ends, exercising the
+    absorbing-padding path of triples walks during training.  Returns
+    (TriplesGraph over the KEPT triples, all_triples, test_triples) with 10%
+    of triples held out, matching the holdout protocol of the node tiers.
+    """
+    from torch_random_walk_tpu.graph.triples import TriplesGraph
+
+    n = side * side
+    offsets = [(1, 0), (0, 1), (2, 0), (1, 1)]  # (dx, dy) per relation
+    triples = []
+    for r, (dx, dy) in enumerate(offsets):
+        x, y = np.meshgrid(np.arange(side - dx), np.arange(side - dy),
+                           indexing="ij")
+        h = x.ravel() * side + y.ravel()
+        t = (x.ravel() + dx) * side + (y.ravel() + dy)
+        triples.append(np.stack([h, np.full_like(h, r), t], axis=1))
+    triples = np.concatenate(triples)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(triples.shape[0])
+    k = triples.shape[0] // 10
+    test, train = triples[perm[:k]], triples[perm[k:]]
+    return (TriplesGraph.from_arrays(train, num_entities=n), triples, test)

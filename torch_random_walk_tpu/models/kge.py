@@ -304,8 +304,11 @@ class KGEmbedding:
         return uniform_walk_triples(tab_a, tab_b, targets, cfg.walk_length,
                                     self.padding_idx, True, seed)
 
-    @partial(jax.jit, static_argnums=0)
-    def _step(self, params, opt_state, targets, epoch, tab_a, tab_b, triples):
+    def _step_impl(self, params, opt_state, targets, epoch, tab_a, tab_b,
+                   triples):
+        """Traced body of the fused step — shared with the mesh-sharded
+        trainer (parallel/kge_trainer.py), whose own jit adds donation and
+        shardings around the identical computation."""
         from torch_random_walk_tpu.ops.windows import (
             _triples_targets_and_windows, to_windows_triples,
             to_windows_triples_cbow)
@@ -330,6 +333,11 @@ class KGEmbedding:
             walks, cfg.window_size, self.graph.num_entities, pad, triples,
             seed)
         return self.model.cbow_train_step(params, opt_state, pt, nt, win, pad)
+
+    @partial(jax.jit, static_argnums=0)
+    def _step(self, params, opt_state, targets, epoch, tab_a, tab_b, triples):
+        return self._step_impl(params, opt_state, targets, epoch, tab_a,
+                               tab_b, triples)
 
     def epoch_step(self, params, opt_state, targets, epoch):
         """One fused sample+train step; pure function of

@@ -88,3 +88,98 @@ def walk_data_parallel(graph: CSRGraph, target_nodes, mesh, p=1.0, q=1.0,
         out_shardings=shard,
     )
     return fn(row_ptr, col_idx, targets)
+
+
+def walk_edge_list_data_parallel(graph, target_nodes, mesh, p=1.0, q=1.0,
+                                 walk_length=10, seed=0, padding_idx=-1,
+                                 restart=True, axis="data"):
+    """Edge-list walks (padding/restart dead-end semantics) with walkers
+    sharded along ``axis``; bit-identical to the single-device
+    ops.walk.walk_edge_list for the same EdgeListGraph (global-walker-id
+    threefry keys, same engine routing)."""
+    from torch_random_walk_tpu.graph.edge_list import EdgeListGraph
+    from torch_random_walk_tpu.ops.edge_list_walk import (
+        biased_walk_edge_list,
+        uniform_walk_edge_list,
+    )
+
+    assert isinstance(graph, EdgeListGraph)
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    targets = jax.device_put(target_nodes, shard)
+
+    if graph.edge_tab is not None:
+        meta = FatMeta.of(graph)
+        edge_tab = jax.device_put(graph.edge_tab, repl)
+        node_tab = jax.device_put(graph.node_tab, repl)
+        if p == 1.0 and q == 1.0:
+            fn = jax.jit(
+                partial(fatwalk.uniform_walk_edge_list_fat, meta=meta,
+                        walk_length=walk_length, seed=seed,
+                        padding_idx=padding_idx, restart=restart),
+                in_shardings=(repl, repl, shard), out_shardings=shard,
+            )
+            return fn(edge_tab, node_tab, targets)
+        from torch_random_walk_tpu.ops.walk import _edge_set_for_edge_list
+
+        es = _edge_set_for_edge_list(graph)
+        hash_table = jax.device_put(es.table, repl)
+
+        def biased(et, nt, ht, tg):
+            return fatwalk.node2vec_walk_edge_list_fat(
+                et, nt, ht, tg, meta, es.log_size, es.salt, p, q,
+                walk_length, seed, padding_idx, restart)
+
+        fn = jax.jit(biased, in_shardings=(repl, repl, repl, shard),
+                     out_shardings=shard)
+        return fn(edge_tab, node_tab, hash_table, targets)
+
+    edge_list = jax.device_put(graph.edge_list, repl)
+    index = jax.device_put(graph.node_edge_index, repl)
+    if p == 1.0 and q == 1.0:
+        fn = jax.jit(
+            partial(uniform_walk_edge_list, walk_length=walk_length,
+                    seed=seed, padding_idx=padding_idx, restart=restart),
+            in_shardings=(repl, repl, shard), out_shardings=shard,
+        )
+        return fn(edge_list, index, targets)
+    fn = jax.jit(
+        partial(biased_walk_edge_list, p=p, q=q, walk_length=walk_length,
+                seed=seed, padding_idx=padding_idx, restart=restart,
+                search_iters=graph.search_iters),
+        in_shardings=(repl, repl, shard), out_shardings=shard,
+    )
+    return fn(edge_list, index, targets)
+
+
+def walk_triples_data_parallel(graph, target_nodes, mesh, walk_length=10,
+                               seed=0, padding_idx=-1, axis="data"):
+    """KG-triples walks with walkers sharded along ``axis``; bit-identical
+    to single-device ops.walk.walk_triples for the same TriplesGraph."""
+    from torch_random_walk_tpu.graph.triples import TriplesGraph
+    from torch_random_walk_tpu.ops.triples_walk import uniform_walk_triples
+
+    assert isinstance(graph, TriplesGraph)
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    targets = jax.device_put(target_nodes, shard)
+
+    if graph.triple_tab is not None:
+        tab = jax.device_put(graph.triple_tab, repl)
+        meta = jax.device_put(graph.node_meta, repl)
+        fn = jax.jit(
+            partial(fatwalk.uniform_walk_triples_fat,
+                    walk_length=walk_length, padding_idx=padding_idx,
+                    seed=seed, num_entities=graph.num_entities,
+                    num_triples=graph.num_triples),
+            in_shardings=(repl, repl, shard), out_shardings=shard,
+        )
+        return fn(tab, meta, targets)
+    triples = jax.device_put(graph.triples, repl)
+    index = jax.device_put(graph.relation_tail_index, repl)
+    fn = jax.jit(
+        partial(uniform_walk_triples, walk_length=walk_length,
+                padding_idx=padding_idx, restart=True, seed=seed),
+        in_shardings=(repl, repl, shard), out_shardings=shard,
+    )
+    return fn(triples, index, targets)
