@@ -7,8 +7,17 @@ embedding evaluation (link prediction + node classification).
 Run:  python examples/deepwalk_end_to_end.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
+
+from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # a JAX_PLATFORMS=cpu export wins over the tunnel
 
 import torch_random_walk_tpu as trw
 from torch_random_walk_tpu.models import (
