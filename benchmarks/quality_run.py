@@ -278,34 +278,42 @@ def main():
             print(json.dumps(r), flush=True)
             kg_results.append(r)
 
-    lines = [HEADER, "| dataset | nodes | edges | config | link-pred AUC | "
-             "class. acc | loss | train s |", "|---|---|---|---|---|---|---|---|"]
-    for r in results:
-        lines.append(
-            f"| {r['dataset']} | {r['nodes']} | {r['edges']} | {r['config']} "
-            f"| {r['link_pred_auc']} | {r.get('classification_acc')} "
-            f"| {r['final_loss']} | {r['train_sec']} |")
-    if kg_results:
-        lines += ["", "## KG link prediction (tail ranking over triples "
-                  "walks -> models/kge.py)", "",
-                  "| dataset | entities | triples | config | filtered MRR | "
-                  "hits@1 | hits@10 | loss | train s |",
-                  "|---|---|---|---|---|---|---|---|---|"]
-        for r in kg_results:
-            lines.append(
-                f"| {r['dataset']} | {r['entities']} | {r['triples']} "
-                f"| {r['config']} | {r['mrr']} | {r['hits@1']} "
-                f"| {r['hits@10']} | {r['final_loss']} | {r['train_sec']} |")
-    existing = []
-    if os.path.exists(args.out):
-        with open(args.out) as f:
-            old = f.read().splitlines()
-        existing = [l for l in old if l.startswith("| ") and
-                    not l.startswith("| dataset") and not l.startswith("|--")]
+    node_rows = [
+        f"| {r['dataset']} | {r['nodes']} | {r['edges']} | {r['config']} "
+        f"| {r['link_pred_auc']} | {r.get('classification_acc')} "
+        f"| {r['final_loss']} | {r['train_sec']} |" for r in results]
+    kg_rows = [
+        f"| {r['dataset']} | {r['entities']} | {r['triples']} "
+        f"| {r['config']} | {r['mrr']} | {r['hits@1']} "
+        f"| {r['hits@10']} | {r['final_loss']} | {r['train_sec']} |"
+        for r in kg_results]
+    text = open(args.out).read() if os.path.exists(args.out) else (
+        HEADER
+        + "\n| dataset | nodes | edges | config | link-pred AUC | "
+          "class. acc | loss | train s |\n|---|---|---|---|---|---|---|---|\n"
+        + "\n## KG link prediction (tail ranking over triples walks -> "
+          "models/kge.py)\n\n"
+          "| dataset | entities | triples | config | filtered MRR | "
+          "hits@1 | hits@10 | loss | train s |\n"
+          "|---|---|---|---|---|---|---|---|---|\n")
+    # Insert new rows at the top of their table; everything else in the
+    # file (notes, older rows) is left untouched — measured ablation
+    # records must survive partial regenerations.
+    for marker, rows in (("link-pred AUC", node_rows),
+                         ("filtered MRR", kg_rows)):
+        if not rows:
+            continue
+        lines = text.splitlines()
+        for i, line in enumerate(lines[1:], start=1):
+            if line.startswith("|--") and marker in lines[i - 1]:
+                lines[i + 1:i + 1] = rows
+                break
+        else:
+            raise SystemExit(f"{args.out}: no table with '{marker}' column "
+                             "— restore the table header or delete the file")
+        text = "\n".join(lines) + ("\n" if not lines[-1] == "" else "")
     with open(args.out, "w") as f:
-        f.write("\n".join(lines + ["\n<!-- prior rows -->"] + existing
-                          if existing else lines))
-        f.write("\n")
+        f.write(text if text.endswith("\n") else text + "\n")
     print(f"wrote {args.out}")
 
 

@@ -60,7 +60,7 @@ def main():
     side = 20
     near = np.mean([emb[i] @ emb[i + 1]
                     for i in range(0, graph.num_entities - 1)
-                    if (i + 1) % side])  # east neighbor
+                    if (i + 1) % side])  # north neighbor (h = x*side + y)
     far = np.mean([emb[i] @ emb[graph.num_entities - 1 - i]
                    for i in range(graph.num_entities // 4)])
     print(f"skipgram entity similarity: adjacent {near:.3f} vs "

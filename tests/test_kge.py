@@ -197,3 +197,34 @@ def test_filtered_ranking_excludes_known_tails():
                                 filter_triples=triples)
     assert m["mrr"] == 1.0
     assert m["hits@1"] == 1.0
+
+
+def test_ranking_tie_collapse_not_rewarded():
+    """A score-collapsed model (all-equal embeddings) must NOT look perfect:
+    realistic tie-breaking ranks it ~(N+1)/2 (review finding: optimistic
+    (s > s[t]) gave every constant model MRR 1.0)."""
+    n = 10
+    ent = np.ones((n, 4))
+    rel = np.zeros((1, 4))
+    triples = np.asarray([(0, 0, 1), (1, 0, 2)])
+    m = kg_tail_ranking_metrics(ent, rel, triples, score="transe")
+    expected_rank = 1 + (n - 1) / 2.0
+    np.testing.assert_allclose(m["mrr"], 1.0 / expected_rank)
+    assert m["hits@1"] == 0.0
+
+
+def test_from_arrays_subset_id_spaces():
+    """Train-split graphs keep the FULL id space when told to (review
+    finding: holdout splits dropped max-id entities/relations from the
+    tables)."""
+    full = np.asarray([(0, 0, 1), (1, 1, 2), (2, 2, 3)])
+    train = full[:1]  # only entities 0-1, relation 0
+    g = trw.TriplesGraph.from_arrays(train, num_entities=4, num_relations=3)
+    assert g.num_entities == 4 and g.num_relations == 3
+    assert g.relation_tail_index.shape[0] == 4
+
+
+def test_padding_idx_entity_collision_rejected():
+    g = chain_graph(24)  # entities 0..23, relations 0..1
+    with pytest.raises(ValueError, match="entity"):
+        KGEmbedding(g, KGEmbeddingConfig(padding_idx=10))

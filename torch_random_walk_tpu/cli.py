@@ -204,13 +204,26 @@ def kg_train_main(argv=None):
                                axis=1)
     test = None
     if args.eval_holdout > 0:
+        if args.objective not in ("transe", "distmult"):
+            ap.error("--eval-holdout needs a triple-scoring objective "
+                     "(transe or distmult); the co-occurrence objectives "
+                     "have no tail-ranking score")
         rng = np.random.default_rng(args.seed)
         perm = rng.permutation(triples.shape[0])
         k = int(args.eval_holdout * triples.shape[0])
+        if k < 1:
+            ap.error(f"--eval-holdout {args.eval_holdout} of "
+                     f"{triples.shape[0]} triples holds out 0 — raise the "
+                     "fraction")
         test, train_triples = triples[perm[:k]], triples[perm[k:]]
     else:
         train_triples = triples
-    graph = TriplesGraph.from_arrays(train_triples)
+    # Id spaces sized from the FULL triples array: entities/relations that
+    # only occur in the held-out split must still get table rows.
+    graph = TriplesGraph.from_arrays(
+        train_triples,
+        num_entities=int(max(triples[:, 0].max(), triples[:, 2].max())) + 1,
+        num_relations=int(triples[:, 1].max()) + 1)
     cfg = KGEmbeddingConfig(dim=args.dim, walk_length=args.walk_length,
                             window_size=args.window,
                             objective=args.objective,

@@ -41,10 +41,16 @@ class TriplesGraph:
         return max(1, int(math.ceil(math.log2(max(self.max_degree, 2)))) + 1)
 
     @classmethod
-    def from_arrays(cls, triples, num_entities: int | None = None) -> "TriplesGraph":
+    def from_arrays(cls, triples, num_entities: int | None = None,
+                    num_relations: int | None = None) -> "TriplesGraph":
+        """``num_entities``/``num_relations`` default to max-id + 1 of the
+        GIVEN triples; pass them explicitly when these triples are a subset
+        (e.g. a train split) of a larger id space."""
         t = np.asarray(triples, np.int64).reshape(-1, 3)
         if num_entities is None:
             num_entities = int(max(t[:, 0].max(), t[:, 2].max())) + 1 if t.size else 0
+        if num_relations is None:
+            num_relations = int(t[:, 1].max()) + 1 if t.size else 0
         order = np.lexsort((t[:, 2], t[:, 1], t[:, 0]))
         t = t[order]
         heads = t[:, 0]
@@ -72,7 +78,7 @@ class TriplesGraph:
             max_degree=int(counts.max()) if num_entities else 0,
             triple_tab=triple_tab,
             node_meta=node_meta,
-            num_relations=int(t[:, 1].max()) + 1 if t.size else 0,
+            num_relations=num_relations,
         )
 
 

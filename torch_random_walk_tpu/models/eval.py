@@ -97,10 +97,12 @@ def kg_tail_ranking_metrics(ent_emb, rel_emb, test_triples,
     ent = np.asarray(ent_emb, np.float64)
     rel = np.asarray(rel_emb, np.float64)
     test = np.asarray(test_triples).reshape(-1, 3)
-    known = set()
+    if test.shape[0] == 0:
+        raise ValueError("empty test_triples")
+    known: dict = {}
     if filter_triples is not None:
-        known = {(int(h), int(r), int(t))
-                 for h, r, t in np.asarray(filter_triples)}
+        for h, r, t in np.asarray(filter_triples):
+            known.setdefault((int(h), int(r)), []).append(int(t))
     ranks = []
     for h, r, t in test:
         h, r, t = int(h), int(r), int(t)
@@ -111,11 +113,15 @@ def kg_tail_ranking_metrics(ent_emb, rel_emb, test_triples,
         else:
             raise ValueError(f"unknown score {score!r}")
         if known:
-            for cand in range(ent.shape[0]):
-                if cand != t and (h, r, cand) in known:
-                    s[cand] = -np.inf
-        # Rank of the true tail (1-based; ties broken pessimistically).
-        ranks.append(1 + int((s > s[t]).sum()))
+            true_t = s[t]
+            s[known.get((h, r), [])] = -np.inf  # vectorized exclusion
+            s[t] = true_t                       # never filter the target
+        # "Realistic" 1-based rank (LibKGE convention): strictly-better
+        # candidates count fully, ties (excluding the target itself) count
+        # half — a score-collapsed model ranks ~(N+1)/2, not 1.
+        greater = int((s > s[t]).sum())
+        ties = int((s == s[t]).sum()) - 1
+        ranks.append(1 + greater + ties / 2.0)
     ranks = np.asarray(ranks, np.float64)
     out = {"mrr": float((1.0 / ranks).mean())}
     for k in hits:

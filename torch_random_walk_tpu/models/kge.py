@@ -280,6 +280,12 @@ class KGEmbedding:
                     f"padding_idx={config.padding_idx} is a valid relation "
                     f"id (num_relations={graph.num_relations}); padded and "
                     "real window slots would be indistinguishable")
+            if 0 <= config.padding_idx < graph.num_entities:
+                raise ValueError(
+                    f"padding_idx={config.padding_idx} is a valid entity "
+                    f"id (num_entities={graph.num_entities}); walks "
+                    "reaching that entity would silently absorb "
+                    "(triples_walk.py treats cur == padding_idx as padded)")
             self.padding_idx = config.padding_idx
         self.model = KGEModel(
             graph.num_entities, max(graph.num_relations, 1),
