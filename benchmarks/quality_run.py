@@ -181,7 +181,7 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
 
 
 def run_kg(seed: int = 0, side: int = 45, epochs: int = 1000,
-           objective: str = "transe"):
+           objective: str = "transe", update_mode: str = "dense"):
     """KG-embedding quality on the grid-world KG (exact TransE ground
     truth, filtered tail-ranking protocol — the KG analog of the node
     tiers' held-out link prediction).  Defaults from a measured sweep:
@@ -196,7 +196,8 @@ def run_kg(seed: int = 0, side: int = 45, epochs: int = 1000,
 
     graph, all_triples, test = synthetic_grid_kg(side, seed=seed)
     cfg = KGEmbeddingConfig(dim=64, walk_length=20, objective=objective,
-                            num_negatives=8, learning_rate=1e-1, seed=seed)
+                            num_negatives=8, learning_rate=1e-1, seed=seed,
+                            update_mode=update_mode)
     tr = KGEmbedding(graph, cfg)
     t0 = time.time()
     params, losses = tr.train(epochs)
@@ -210,7 +211,8 @@ def run_kg(seed: int = 0, side: int = 45, epochs: int = 1000,
         "entities": graph.num_entities,
         "triples": int(all_triples.shape[0]),
         "config": (f"{objective} dim=64 L=20 K=8 {epochs}ep "
-                   "(10% held out, filtered ranking; random MRR ~"
+                   + ("sparse-adam " if update_mode == "sparse" else "")
+                   + "(10% held out, filtered ranking; random MRR ~"
                    f"{round(float(np.log(graph.num_entities)) / graph.num_entities, 4)})"),
         "mrr": round(m["mrr"], 4),
         "hits@1": round(m["hits@1"], 4),
@@ -274,7 +276,7 @@ def main():
     kg_results = []
     if args.tier in ("kg", "all"):
         for objective in ("transe", "distmult"):
-            r = run_kg(objective=objective)
+            r = run_kg(objective=objective, update_mode=args.update_mode)
             print(json.dumps(r), flush=True)
             kg_results.append(r)
 

@@ -228,3 +228,79 @@ def test_padding_idx_entity_collision_rejected():
     g = chain_graph(24)  # entities 0..23, relations 0..1
     with pytest.raises(ValueError, match="entity"):
         KGEmbedding(g, KGEmbeddingConfig(padding_idx=10))
+
+
+class TestSparsePairAdam:
+    """Touched-rows lazy Adam for the pair objectives (KGEModel.pair_train_
+    step_sparse): rows touched every step must update exactly like
+    optax.adam, and the fused trainer must converge under it."""
+
+    def test_sparse_pair_step_matches_dense(self):
+        m = KGEModel(4, 2, dim=8, objective="transe", learning_rate=3e-2)
+        params_d, opt_d = m.init(0)
+        params_s = {k: v.copy() for k, v in params_d.items()}
+        opt_s = m.init_sparse_opt_state(params_s)
+        # Every entity (0-3) and relation (0-1) touched each step.
+        pos = jnp.asarray([[0, 0, 1], [2, 1, 3]], jnp.int32)
+        neg = jnp.asarray([[[0, 0, 2], [3, 0, 1]],
+                           [[2, 1, 0], [1, 1, 3]]], jnp.int32)
+        pad = 9
+        for _ in range(5):
+            params_d, opt_d, loss_d = m.pair_train_step(
+                params_d, opt_d, pos, neg, pad)
+            params_s, opt_s, loss_s = m.pair_train_step_sparse(
+                params_s, opt_s, pos, neg, pad)
+            np.testing.assert_allclose(float(loss_d), float(loss_s),
+                                       rtol=1e-6)
+        for k in params_d:
+            np.testing.assert_allclose(np.asarray(params_d[k]),
+                                       np.asarray(params_s[k]),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_sparse_untouched_rows_stay_put(self):
+        m = KGEModel(10, 3, dim=4, objective="distmult")
+        params, _ = m.init(1)
+        opt = m.init_sparse_opt_state(params)
+        before_ent = np.asarray(params["ent"]).copy()
+        pos = jnp.asarray([[0, 0, 1]], jnp.int32)
+        neg = jnp.asarray([[[0, 0, 2]]], jnp.int32)
+        params, opt, _ = m.pair_train_step_sparse(params, opt, pos, neg, 11)
+        after_ent = np.asarray(params["ent"])
+        touched = {0, 1, 2}
+        for i in range(10):
+            if i in touched:
+                assert not np.allclose(after_ent[i], before_ent[i])
+            else:
+                np.testing.assert_array_equal(after_ent[i], before_ent[i])
+
+    def test_sparse_end_to_end_chain_quality(self):
+        g = chain_graph(24)
+        cfg = KGEmbeddingConfig(dim=16, walk_length=8, objective="transe",
+                                num_negatives=4, learning_rate=1e-1, seed=1,
+                                update_mode="sparse")
+        tr = KGEmbedding(g, cfg)
+        params, losses = tr.train(200)
+        assert losses[-1] < losses[0]
+        metrics = kg_tail_ranking_metrics(
+            tr.model.entity_embeddings(params),
+            tr.model.relation_embeddings(params),
+            np.asarray(g.triples), score="transe")
+        assert metrics["mrr"] > 0.8, metrics
+
+    def test_sparse_rejected_for_cooccurrence_objectives(self):
+        g = chain_graph(8)
+        with pytest.raises(ValueError, match="pair objective"):
+            KGEmbedding(g, KGEmbeddingConfig(objective="skipgram",
+                                             update_mode="sparse"))
+
+    def test_sparse_rejected_with_custom_optimizer(self):
+        import optax
+
+        m = KGEModel(4, 2, dim=4, objective="transe",
+                     optimizer=optax.sgd(1e-2))
+        params, _ = m.init(0)
+        opt = m.init_sparse_opt_state(params)
+        pos = jnp.asarray([[0, 0, 1]], jnp.int32)
+        neg = jnp.asarray([[[0, 0, 2]]], jnp.int32)
+        with pytest.raises(ValueError, match="custom optax"):
+            m.pair_train_step_sparse(params, opt, pos, neg, 9)

@@ -73,3 +73,27 @@ def test_sharded_kge_pure_dp_mesh():
     targets = np.arange(16, dtype=np.int32) % g.num_entities
     params, opt_state, loss = trainer.train_step(params, opt_state, targets)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_sparse_matches_single_device():
+    """Touched-rows lazy Adam under the dp x mp mesh: first-step loss (and
+    the step itself) must equal the unsharded sparse trainer's."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    g = chain_kg()
+    cfg_s = ShardedKGEmbeddingConfig(dim=16, walk_length=6,
+                                     objective="transe", seed=3,
+                                     update_mode="sparse")
+    trainer = ShardedKGEmbedding(g, mesh, cfg_s)
+    p_s, o_s = trainer.init()
+    targets = np.arange(24, dtype=np.int32) % g.num_entities
+    p_s, o_s, loss_sharded = trainer.train_step(p_s, o_s, targets, epoch=0)
+
+    single = KGEmbedding(g, KGEmbeddingConfig(
+        dim=16, walk_length=6, objective="transe", seed=3,
+        update_mode="sparse"))
+    p1, o1 = single.init()
+    p1, o1, loss_single = single.epoch_step(p1, o1, jnp.asarray(targets), 0)
+    np.testing.assert_allclose(float(loss_sharded), float(loss_single),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p_s["ent"]), np.asarray(p1["ent"]),
+                               rtol=1e-5, atol=1e-7)

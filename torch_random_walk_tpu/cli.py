@@ -181,7 +181,13 @@ def kg_train_main(argv=None):
     ap.add_argument("--metrics", default="", help="JSONL metrics path")
     ap.add_argument("--eval-holdout", type=float, default=0.0,
                     help=">0 holds out this fraction of triples and prints "
-                         "filtered tail-ranking MRR/Hits@10 after training")
+                         "filtered tail-ranking MRR/Hits@10 after training "
+                         "(transe/distmult objectives only)")
+    ap.add_argument("--update-mode", default="dense",
+                    choices=["dense", "sparse"],
+                    help="sparse = touched-rows lazy Adam (optimizer "
+                         "traffic scales with the batch, not the entity "
+                         "vocabulary; transe/distmult only)")
     args = ap.parse_args(argv)
 
     from torch_random_walk_tpu.graph.triples import TriplesGraph
@@ -228,7 +234,8 @@ def kg_train_main(argv=None):
                             window_size=args.window,
                             objective=args.objective,
                             num_negatives=args.negatives, margin=args.margin,
-                            learning_rate=args.lr, seed=args.seed)
+                            learning_rate=args.lr, seed=args.seed,
+                            update_mode=args.update_mode)
     kge = KGEmbedding(graph, cfg)
     metrics = MetricsWriter(args.metrics or None)
     params, opt_state = kge.init()

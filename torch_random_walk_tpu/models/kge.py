@@ -80,7 +80,8 @@ class KGEModel:
     def __init__(self, num_entities: int, num_relations: int, dim: int = 128,
                  objective: str = "transe", margin: float = 2.0,
                  optimizer: optax.GradientTransformation | None = None,
-                 learning_rate: float = 1e-2, dtype=jnp.float32):
+                 learning_rate: float = 1e-2, dtype=jnp.float32,
+                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
         if objective not in _OBJECTIVES:
             raise ValueError(f"unknown objective {objective!r}; "
                              f"expected one of {_OBJECTIVES}")
@@ -90,6 +91,12 @@ class KGEModel:
         self.objective = objective
         self.margin = margin
         self.dtype = dtype
+        # The touched-rows step applies Adam manually, so it needs the
+        # hyperparameters in the open — a custom optax optimizer is opaque
+        # (same contract as SkipGramModel).
+        self._sparse_hparams_ok = optimizer is None
+        self.learning_rate = learning_rate
+        self.b1, self.b2, self.eps = b1, b2, eps
         self.optimizer = optimizer or optax.adam(learning_rate)
 
     # -- parameters ---------------------------------------------------------
@@ -126,35 +133,45 @@ class KGEModel:
 
     # -- link-prediction objectives (transe / distmult) ---------------------
 
-    def _score(self, params, triples):
-        """s(h, r, t) for (..., 3) int triples; padding must be pre-clipped."""
-        e_h = params["ent"][triples[..., 0]]
-        w_r = params["rel"][triples[..., 1]]
-        e_t = params["ent"][triples[..., 2]]
+    def _score_tabs(self, ent, rel, triples):
+        """s(h, r, t) for (..., 3) int triples against the given tables
+        (full tables in the dense step, gathered sub-tables in the sparse
+        one); indices must be in range."""
+        e_h = ent[triples[..., 0]]
+        w_r = rel[triples[..., 1]]
+        e_t = ent[triples[..., 2]]
         if self.objective == "transe":
             d = (e_h + w_r - e_t).astype(jnp.float32)
             return self.margin - jnp.linalg.norm(d, axis=-1)
         prod = (e_h * w_r * e_t).astype(jnp.float32)
         return prod.sum(axis=-1)
 
+    def _safe(self, t):
+        """Clip triple components into table range (padding slots are
+        masked out of the loss separately)."""
+        h = jnp.clip(t[..., 0], 0, self.num_entities - 1)
+        r = jnp.clip(t[..., 1], 0, self.num_relations - 1)
+        tl = jnp.clip(t[..., 2], 0, self.num_entities - 1)
+        return jnp.stack([h, r, tl], axis=-1)
+
+    def _pair_loss_tabs(self, ent, rel, pos, neg, valid):
+        """Shared by the dense and touched-rows steps so both compute the
+        identical masked-mean logistic NEG loss and row gradients."""
+        pos_s = self._score_tabs(ent, rel, pos)                 # (B,)
+        neg_s = self._score_tabs(ent, rel, neg)                 # (B, K)
+        per = -(jax.nn.log_sigmoid(pos_s)
+                + jax.nn.log_sigmoid(-neg_s).sum(axis=-1))
+        w = valid.astype(jnp.float32)
+        return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+
     def pair_loss_fn(self, params, pos_triples, neg_triples, padding_idx):
         """Logistic NEG loss; positives whose relation == padding_idx
         (absorbed-walk slots, rw_cpu_triples.cpp:38-42) are masked out of
         the mean along with their negatives."""
         valid = (pos_triples[..., 1] != padding_idx)
-
-        def safe(t):
-            h = jnp.clip(t[..., 0], 0, self.num_entities - 1)
-            r = jnp.clip(t[..., 1], 0, self.num_relations - 1)
-            tl = jnp.clip(t[..., 2], 0, self.num_entities - 1)
-            return jnp.stack([h, r, tl], axis=-1)
-
-        pos_s = self._score(params, safe(pos_triples))          # (B,)
-        neg_s = self._score(params, safe(neg_triples))          # (B, K)
-        per = -(jax.nn.log_sigmoid(pos_s)
-                + jax.nn.log_sigmoid(-neg_s).sum(axis=-1))
-        w = valid.astype(jnp.float32)
-        return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
+        return self._pair_loss_tabs(params["ent"], params["rel"],
+                                    self._safe(pos_triples),
+                                    self._safe(neg_triples), valid)
 
     # -- co-occurrence objectives (skipgram / cbow) --------------------------
 
@@ -225,6 +242,94 @@ class KGEModel:
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    def init_sparse_opt_state(self, params):
+        """State for ``pair_train_step_sparse``: fp32 Adam moments shaped
+        like the tables plus the global step count (the same layout as
+        SkipGramModel.init_sparse_opt_state)."""
+        zeros = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), params)
+        return {"mu": zeros,
+                "nu": jax.tree.map(jnp.copy, zeros),
+                "count": jnp.zeros((), jnp.int32)}
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def pair_train_step_sparse(self, params, opt_state, pos_triples,
+                               neg_triples, padding_idx: int):
+        """Pair train step with a TOUCHED-ROWS (lazy) Adam update.
+
+        Same motivation and semantics as SkipGramModel.walk_train_step_
+        sparse: the loss is computed on gathered sub-tables (identical
+        masked-mean math — _pair_loss_tabs — so loss and row gradients
+        equal the dense step's), touched entity/relation rows are
+        deduplicated with a static-size sort, and Adam moments (fp32) are
+        gathered/updated/scattered for those rows only — optimizer and
+        gradient traffic scale with the batch instead of the entity
+        vocabulary (the Wikidata-class-KG regime).  Rows NOT in the batch
+        keep their params and moments; bias correction uses the global
+        step count.  Rows touched every step update exactly like
+        optax.adam (tests/test_kge.py::test_sparse_pair_step_matches_dense).
+        """
+        if not self._sparse_hparams_ok:
+            raise ValueError(
+                "pair_train_step_sparse applies the model's Adam "
+                "hyperparameters manually, which cannot be read out of a "
+                "custom optax optimizer; construct KGEModel with "
+                "learning_rate/b1/b2/eps instead of optimizer=")
+        ne, nr = self.num_entities, self.num_relations
+        valid = (pos_triples[..., 1] != padding_idx)
+        pos = self._safe(pos_triples)
+        neg = self._safe(neg_triples)
+        ent_touched = jnp.concatenate(
+            [pos[..., 0].ravel(), pos[..., 2].ravel(),
+             neg[..., 0].ravel(), neg[..., 2].ravel()])
+        rel_touched = jnp.concatenate(
+            [pos[..., 1].ravel(), neg[..., 1].ravel()])
+        # Static-size sorted dedup padded with the table size (out of
+        # bounds): the padded id array doubles as the scatter index and
+        # OOB rows drop.
+        ent_ids = jnp.unique(ent_touched, size=ent_touched.shape[0],
+                             fill_value=ne)
+        rel_ids = jnp.unique(rel_touched, size=rel_touched.shape[0],
+                             fill_value=nr)
+
+        def remap(t):
+            return jnp.stack([jnp.searchsorted(ent_ids, t[..., 0]),
+                              jnp.searchsorted(rel_ids, t[..., 1]),
+                              jnp.searchsorted(ent_ids, t[..., 2])], axis=-1)
+
+        ent_safe = jnp.minimum(ent_ids, ne - 1)
+        rel_safe = jnp.minimum(rel_ids, nr - 1)
+        subs = {"ent": params["ent"][ent_safe],
+                "rel": params["rel"][rel_safe]}
+        pos_l, neg_l = remap(pos), remap(neg)
+
+        def sub_loss(subs):
+            return self._pair_loss_tabs(subs["ent"], subs["rel"], pos_l,
+                                        neg_l, valid)
+
+        loss, g = jax.value_and_grad(sub_loss)(subs)
+
+        mu, nu = dict(opt_state["mu"]), dict(opt_state["nu"])
+        count = opt_state["count"] + 1
+        c = count.astype(jnp.float32)
+        params = dict(params)
+        for name, ids, sub, grad in (("ent", ent_ids, subs["ent"], g["ent"]),
+                                     ("rel", rel_ids, subs["rel"], g["rel"])):
+            safe = jnp.minimum(ids, params[name].shape[0] - 1)
+            g32 = grad.astype(jnp.float32)
+            mu_new = self.b1 * mu[name][safe] + (1.0 - self.b1) * g32
+            nu_new = self.b2 * nu[name][safe] + (1.0 - self.b2) * (g32 * g32)
+            # optax.scale_by_adam's formula (eps_root = 0).
+            mu_hat = mu_new / (1.0 - self.b1 ** c)
+            nu_hat = nu_new / (1.0 - self.b2 ** c)
+            upd = self.learning_rate * mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+            rows = (sub.astype(jnp.float32) - upd).astype(params[name].dtype)
+            kw = dict(mode="drop", indices_are_sorted=True)
+            params[name] = params[name].at[ids].set(rows, **kw)
+            mu[name] = mu[name].at[ids].set(mu_new, **kw)
+            nu[name] = nu[name].at[ids].set(nu_new, **kw)
+        return params, {"mu": mu, "nu": nu, "count": count}, loss
+
     @partial(jax.jit, static_argnums=(0, 6))
     def skipgram_train_step(self, params, opt_state, targets, pos_windows,
                             neg_windows, padding_idx: int):
@@ -257,6 +362,11 @@ class KGEmbeddingConfig:
     # (out of range for BOTH id spaces, so the relation-component padding
     # test in the losses can never collide with a real relation id).
     padding_idx: int | None = None
+    # "dense" = optax.adam over the full tables each step; "sparse" =
+    # touched-rows lazy Adam (KGEModel.pair_train_step_sparse) — optimizer
+    # and gradient traffic scale with the batch's unique rows instead of
+    # the entity vocabulary.  transe/distmult objectives only.
+    update_mode: str = "dense"
 
 
 class KGEmbedding:
@@ -287,6 +397,12 @@ class KGEmbedding:
                     "reaching that entity would silently absorb "
                     "(triples_walk.py treats cur == padding_idx as padded)")
             self.padding_idx = config.padding_idx
+        if config.update_mode not in ("dense", "sparse"):
+            raise ValueError(f"unknown update_mode {config.update_mode!r}")
+        if (config.update_mode == "sparse"
+                and config.objective not in ("transe", "distmult")):
+            raise ValueError("update_mode='sparse' requires a pair "
+                             "objective (transe or distmult)")
         self.model = KGEModel(
             graph.num_entities, max(graph.num_relations, 1),
             dim=config.dim, objective=config.objective, margin=config.margin,
@@ -295,7 +411,10 @@ class KGEmbedding:
         )
 
     def init(self):
-        return self.model.init(self.config.seed)
+        params, opt_state = self.model.init(self.config.seed)
+        if self.config.update_mode == "sparse":
+            opt_state = self.model.init_sparse_opt_state(params)
+        return params, opt_state
 
     def _walk(self, targets, seed, tab_a, tab_b):
         from torch_random_walk_tpu.ops import fatwalk
@@ -327,8 +446,10 @@ class KGEmbedding:
             pos, _ = _triples_targets_and_windows(walks, 1, pad)
             neg = corrupt_triples(pos, self.graph.num_entities,
                                   cfg.num_negatives, seed, epoch)
-            return self.model.pair_train_step(params, opt_state, pos, neg,
-                                              pad)
+            step = (self.model.pair_train_step_sparse
+                    if cfg.update_mode == "sparse"
+                    else self.model.pair_train_step)
+            return step(params, opt_state, pos, neg, pad)
         if cfg.objective == "skipgram":
             tgt, pw, nw = to_windows_triples(
                 walks, cfg.window_size, self.graph.num_entities, pad,

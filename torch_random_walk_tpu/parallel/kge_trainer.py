@@ -69,6 +69,8 @@ class ShardedKGEmbedding:
         """Params + opt state laid out on the mesh (tables feature-sharded)."""
         with jax.set_mesh(self.mesh):
             params, opt_state = self.model.init(self.config.seed)
+            if self.config.update_mode == "sparse":
+                opt_state = self.model.init_sparse_opt_state(params)
         params = jax.tree.map(lambda x: jax.device_put(x, self._mp), params)
         opt_state = jax.tree.map(
             lambda x: jax.device_put(x, self._mp)
