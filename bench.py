@@ -228,6 +228,12 @@ def main():
     parser.add_argument("--walk-length", type=int, default=80)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--train-dim", type=int, default=128)
+    parser.add_argument("--families", type=str, default="csr",
+                        choices=["csr", "all"],
+                        help="all = additionally bench the edge-list and "
+                        "triples walk engines on same-scale derived graphs "
+                        "(extra build time; the headline metric is "
+                        "unchanged)")
     parser.add_argument("--profile-dir", type=str, default="")
     parser.add_argument("--metrics-out", type=str, default="",
                         help="JSONL sink for per-point scaling metrics")
@@ -281,6 +287,57 @@ def main():
     steps = num_walkers * walk_length
     uniform_sps = steps / dt_uniform
     biased_sps = steps / dt_biased
+
+    extras = {}
+    if args.families == "all":
+        # Same-scale derived graphs: the edge-list family walks the CSR's
+        # edges through the range-table engine (padding/restart
+        # semantics), the triples family adds deterministic pseudo
+        # relation labels (16 relations).
+        import numpy as np
+
+        from torch_random_walk_tpu.graph.edge_list import EdgeListGraph
+        from torch_random_walk_tpu.graph.triples import TriplesGraph
+        from torch_random_walk_tpu.ops.walk import walk_edge_list, walk_triples
+
+        rp = np.asarray(graph.row_ptr)
+        ci = np.asarray(graph.col_idx)
+        heads = np.repeat(np.arange(num_nodes, dtype=ci.dtype), np.diff(rp))
+        pad = int(num_nodes)
+        el = EdgeListGraph.from_arrays(np.stack([heads, ci], axis=1),
+                                       num_nodes=num_nodes)
+
+        def el_uniform(t):
+            return walk_edge_list(el, target_nodes=t,
+                                  walk_length=walk_length, seed=7,
+                                  padding_idx=pad, restart=True)
+
+        def el_biased(t):
+            return walk_edge_list(el, target_nodes=t, p=0.5, q=2.0,
+                                  walk_length=walk_length, seed=7,
+                                  padding_idx=pad, restart=True)
+
+        extras["edge_list_uniform_node_steps_per_sec"] = round(
+            steps / time_fn(el_uniform, targets, iters=args.iters), 1)
+        extras["edge_list_biased_node_steps_per_sec"] = round(
+            steps / time_fn(el_biased, targets, iters=args.iters), 1)
+        from torch_random_walk_tpu.ops.walk import clear_graph_caches as _cgc
+
+        _cgc(el)  # drop the edge-list cuckoo before the triples phase
+        del el
+
+        rels = (heads.astype(np.uint64) * 2654435761 % 16).astype(ci.dtype)
+        tg = TriplesGraph.from_arrays(
+            np.stack([heads, rels, ci], axis=1), num_entities=num_nodes)
+
+        def tr_fn(t):
+            return walk_triples(tg, target_nodes=t,
+                                walk_length=walk_length, seed=7,
+                                padding_idx=pad)
+
+        extras["triples_node_steps_per_sec"] = round(
+            steps / time_fn(tr_fn, targets, iters=args.iters), 1)
+        del tg
 
     # Fused training step (walks -> windows -> SGNS loss) on the SAME graph.
     # bf16 embedding tables keep multi-million-node tables + Adam state
@@ -342,6 +399,7 @@ def main():
         "uniform_node_steps_per_sec": round(uniform_sps, 1),
         "fused_train_node_steps_per_sec": round(train_sps, 1),
         "fused_train_sparse_node_steps_per_sec": round(train_sparse_sps, 1),
+        **extras,
         "train_dtype": train_dtype,
         "platform": platform,
         "dataset": dataset_name,

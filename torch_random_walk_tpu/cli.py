@@ -178,6 +178,12 @@ def kg_train_main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint-dir", default="")
+    ap.add_argument("--checkpoint-every", type=int, default=25)
+    ap.add_argument("--heartbeat", default="",
+                    help="liveness file for external stall detection")
+    ap.add_argument("--max-retries", type=int, default=0,
+                    help="restore-and-replay retries on device faults")
     ap.add_argument("--metrics", default="", help="JSONL metrics path")
     ap.add_argument("--eval-holdout", type=float, default=0.0,
                     help=">0 holds out this fraction of triples and prints "
@@ -239,15 +245,48 @@ def kg_train_main(argv=None):
     kge = KGEmbedding(graph, cfg)
     metrics = MetricsWriter(args.metrics or None)
     params, opt_state = kge.init()
+    import tempfile
+
     import jax.numpy as jnp
 
+    from torch_random_walk_tpu.utils.elastic import (
+        ElasticConfig,
+        run_resumable,
+    )
+
     targets = jnp.arange(graph.num_entities, dtype=jnp.int32)
-    for epoch in range(args.epochs):
-        params, opt_state, loss = kge.epoch_step(params, opt_state, targets,
-                                                 epoch)
+
+    def step_fn(state, epoch):
+        p, o, loss = kge.epoch_step(state["params"], state["opt"], targets,
+                                    epoch)
         metrics.emit(epoch=epoch, loss=float(loss))
         if epoch % 10 == 0:
             log.info("epoch %d loss %.4f", epoch, float(loss))
+        return {"params": p, "opt": o}
+
+    # Same preemption/fault contract as trw-train: periodic snapshots only
+    # when asked (or when retries need a restore point); a scratch dir
+    # covers SIGTERM checkpoint-and-exit either way.
+    scratch = None if args.checkpoint_dir else tempfile.mkdtemp(
+        prefix="trw_train_kg_")
+    periodic = bool(args.checkpoint_dir) or args.max_retries > 0
+    result = run_resumable(
+        step_fn, {"params": params, "opt": opt_state}, args.epochs,
+        ElasticConfig(ckpt_dir=args.checkpoint_dir or scratch,
+                      every_steps=(args.checkpoint_every if periodic
+                                   else args.epochs + 1),
+                      heartbeat_path=args.heartbeat or None,
+                      max_retries=args.max_retries,
+                      save_final=bool(args.checkpoint_dir)))
+    if result.preempted:
+        log.warning("preempted at epoch %d (checkpointed to %s; rerun with "
+                    "--checkpoint-dir to resume)", result.steps_done,
+                    args.checkpoint_dir or scratch)
+    elif scratch is not None:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+    params = result.state["params"]
     ent = np.asarray(kge.model.entity_embeddings(params))
     rel = np.asarray(kge.model.relation_embeddings(params))
     np.savez(args.out, entities=ent, relations=rel)
