@@ -180,6 +180,88 @@ def run_products(data_root: str, seed: int = 0, epochs: int = 3,
     }
 
 
+def run_real_small(seed: int = 0, update_mode: str = "dense"):
+    """REAL-graph quality runs on the classic datasets networkx bundles
+    (available offline even in the zero-egress build environment):
+
+    - Zachary's karate club (34 nodes, 78 edges, real faction labels) —
+      node classification of the Mr. Hi / Officer split, the original
+      DeepWalk demo task (DeepWalk paper fig. 1 uses exactly this graph);
+    - Les Misérables character co-occurrence (77 nodes, 254 edges) —
+      held-out-edge link prediction.
+    """
+    import networkx as nx
+    import jax.numpy as jnp
+
+    from torch_random_walk_tpu.graph.csr import CSRGraph
+    from torch_random_walk_tpu.models import (
+        Node2Vec,
+        Node2VecConfig,
+        link_prediction_auc,
+        node_classification_accuracy,
+        sample_negative_edges,
+    )
+
+    results = []
+
+    # -- karate: classification ------------------------------------------
+    g = nx.karate_club_graph()
+    labels = np.asarray(
+        [0 if g.nodes[i]["club"] == "Mr. Hi" else 1 for i in g.nodes])
+    graph = CSRGraph.from_networkx(g)
+    cfg = Node2VecConfig(dim=32, walk_length=20, window_size=5,
+                         walks_per_node=16, p=0.5, q=2.0,
+                         learning_rate=2.5e-2, seed=seed,
+                         update_mode=update_mode)
+    n2v = Node2Vec(graph, cfg)
+    t0 = time.time()
+    params, losses = n2v.train(num_epochs=150)
+    emb = np.asarray(n2v.embeddings(params), np.float32)
+    acc = node_classification_accuracy(emb, labels, train_frac=0.5,
+                                       seed=seed)
+    results.append({
+        "dataset": "karate-club (REAL)",
+        "nodes": graph.num_nodes, "edges": graph.num_edges,
+        "config": "node2vec p=0.5 q=2.0 dim=32 L=20 W=5 x16walks 150ep",
+        "link_pred_auc": None,
+        "classification_acc": round(float(acc), 4),
+        "final_loss": round(float(losses[-1]), 4),
+        "train_sec": round(time.time() - t0, 1),
+    })
+
+    # -- les miserables: link prediction ---------------------------------
+    g = nx.les_miserables_graph()
+    nodes = list(g.nodes)
+    idx = {n: i for i, n in enumerate(nodes)}
+    edges = np.asarray([(idx[u], idx[v]) for u, v in g.edges])
+    train_e, test_e = holdout_edges(edges, 0.1, seed)
+    src = np.concatenate([train_e[:, 0], train_e[:, 1]])
+    dst = np.concatenate([train_e[:, 1], train_e[:, 0]])
+    graph = CSRGraph.from_edges(src, dst, num_nodes=len(nodes))
+    cfg = Node2VecConfig(dim=32, walk_length=20, window_size=5,
+                         walks_per_node=16, p=0.5, q=2.0,
+                         learning_rate=2.5e-2, seed=seed,
+                         update_mode=update_mode)
+    n2v = Node2Vec(graph, cfg)
+    t0 = time.time()
+    params, losses = n2v.train(num_epochs=150)
+    emb = np.asarray(n2v.embeddings(params), np.float32)
+    neg_e = sample_negative_edges(len(nodes), edges, len(test_e),
+                                  seed=seed + 1)
+    auc = link_prediction_auc(emb, test_e, neg_e, score="cosine")
+    results.append({
+        "dataset": "les-miserables (REAL)",
+        "nodes": graph.num_nodes, "edges": graph.num_edges,
+        "config": "node2vec p=0.5 q=2.0 dim=32 L=20 W=5 x16walks 150ep "
+                  "(10% edges held out)",
+        "link_pred_auc": round(float(auc), 4),
+        "classification_acc": None,
+        "final_loss": round(float(losses[-1]), 4),
+        "train_sec": round(time.time() - t0, 1),
+    })
+    return results
+
+
 def run_kg(seed: int = 0, side: int = 45, epochs: int = 1000,
            objective: str = "transe", update_mode: str = "dense"):
     """KG-embedding quality on the grid-world KG (exact TransE ground
@@ -244,7 +326,7 @@ Regenerate: `python benchmarks/quality_run.py --tier all`
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", default="small",
-                    choices=["small", "products", "kg", "all"])
+                    choices=["small", "real-small", "products", "kg", "all"])
     ap.add_argument("--data-root", default="dataset")
     ap.add_argument("--out", default="QUALITY.md")
     ap.add_argument("--epochs", type=int, default=3,
@@ -266,6 +348,10 @@ def main():
         for name in ("cora", "citeseer"):
             r = run_small(name, args.data_root,
                           update_mode=args.update_mode)
+            print(json.dumps(r), flush=True)
+            results.append(r)
+    if args.tier in ("real-small", "all"):
+        for r in run_real_small(update_mode=args.update_mode):
             print(json.dumps(r), flush=True)
             results.append(r)
     if args.tier in ("products", "all"):
