@@ -50,6 +50,11 @@ class Node2VecConfig:
     # instead of the vocabulary (the ogbn-papers100M-class regime).
     # "block" train_mode only.
     update_mode: str = "dense"
+    # Distribution of the batch-shared negatives in "block" mode:
+    # "uniform" (reference parity — windows_cpu.cpp:67-71) or "degree75"
+    # (word2vec's unigram^{3/4} table, sampled O(1)/draw via alias tables
+    # — utils/alias.py).  Windows-mode negatives stay uniform always.
+    negative_distribution: str = "uniform"
 
 
 class Node2Vec:
@@ -63,6 +68,22 @@ class Node2Vec:
         if config.update_mode == "sparse" and config.train_mode != "block":
             raise ValueError("update_mode='sparse' requires "
                              "train_mode='block'")
+        if config.negative_distribution not in ("uniform", "degree75"):
+            raise ValueError("unknown negative_distribution "
+                             f"{config.negative_distribution!r}")
+        if (config.negative_distribution != "uniform"
+                and config.train_mode != "block"):
+            raise ValueError("negative_distribution='degree75' requires "
+                             "train_mode='block' (windows-mode negatives "
+                             "are reference-parity uniform)")
+        self._neg_tabs = None
+        if config.negative_distribution == "degree75":
+            from torch_random_walk_tpu.utils.alias import (
+                build_alias,
+                degree75_weights,
+            )
+
+            self._neg_tabs = build_alias(degree75_weights(graph.row_ptr))
         self.model = SkipGramModel(
             graph.num_nodes, config.dim,
             optimizer=optax.adam(config.learning_rate),
@@ -86,7 +107,7 @@ class Node2Vec:
     # rebind loop, does donate.
     @partial(jax.jit, static_argnums=0)
     def _fat_step(self, params, opt_state, targets, epoch, edge_tab,
-                  node_tab, hash_table, fat6=None):
+                  node_tab, hash_table, fat6=None, neg_tabs=None):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         from torch_random_walk_tpu.ops import fatwalk
@@ -103,12 +124,12 @@ class Node2Vec:
                                               es.salt, cfg.p, cfg.q,
                                               cfg.walk_length, seed,
                                               fat6=fat6)
-        return self._train(params, opt_state, walks, seed)
+        return self._train(params, opt_state, walks, seed, neg_tabs)
 
-    def _train(self, params, opt_state, walks, seed):
+    def _train(self, params, opt_state, walks, seed, neg_tabs=None):
         cfg = self.config
         if cfg.train_mode == "block":
-            neg_ids = self._shared_negatives(seed)
+            neg_ids = self._shared_negatives(seed, neg_tabs)
             step = (self.model.walk_train_step_sparse
                     if cfg.update_mode == "sparse"
                     else self.model.walk_train_step)
@@ -118,14 +139,22 @@ class Node2Vec:
                                    self.graph.num_nodes, seed)
         return self.model.train_step(params, opt_state, tgt, pos, neg)
 
-    def _shared_negatives(self, seed):
+    def _shared_negatives(self, seed, neg_tabs=None):
+        if neg_tabs is not None:
+            from torch_random_walk_tpu.utils.alias import (
+                shared_negative_ids_alias,
+            )
+
+            return shared_negative_ids_alias(
+                seed, self.config.shared_negatives, *neg_tabs)
         from torch_random_walk_tpu.models.skipgram import shared_negative_ids
 
         return shared_negative_ids(seed, self.config.shared_negatives,
                                    self.graph.num_nodes)
 
     @partial(jax.jit, static_argnums=0)
-    def _jnp_step(self, params, opt_state, targets, epoch, row_ptr, col_idx):
+    def _jnp_step(self, params, opt_state, targets, epoch, row_ptr, col_idx,
+                  neg_tabs=None):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         if cfg.p == 1.0 and cfg.q == 1.0:
@@ -135,7 +164,7 @@ class Node2Vec:
             walks = node2vec_walk_csr(row_ptr, col_idx, targets, cfg.p,
                                       cfg.q, cfg.walk_length, seed,
                                       search_iters=self.graph.search_iters)
-        return self._train(params, opt_state, walks, seed)
+        return self._train(params, opt_state, walks, seed, neg_tabs)
 
     def epoch_step(self, params, opt_state, targets, epoch):
         """One fused sample+train step over a batch of start nodes.
@@ -160,9 +189,10 @@ class Node2Vec:
                 # batch size).
                 bt = fat6_for(g)
             return self._fat_step(params, opt_state, targets, epoch,
-                                  g.edge_tab, g.node_tab, ht, bt)
+                                  g.edge_tab, g.node_tab, ht, bt,
+                                  self._neg_tabs)
         return self._jnp_step(params, opt_state, targets, epoch, g.row_ptr,
-                              g.col_idx)
+                              g.col_idx, self._neg_tabs)
 
     def train(self, num_epochs: int, batch_nodes=None, log_every: int = 0):
         """Simple training loop; returns (params, losses)."""

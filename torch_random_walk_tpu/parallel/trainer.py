@@ -52,6 +52,9 @@ class ShardedNode2VecConfig:
     # (S, D) negative gradient shards cleanly on the feature axis.
     train_mode: str = "block"
     shared_negatives: int = 256
+    # "uniform" (reference parity) or "degree75" (word2vec unigram^{3/4}
+    # via alias tables) for the block-mode shared negatives.
+    negative_distribution: str = "uniform"
     # "sparse" = touched-rows lazy Adam (SkipGramModel.walk_train_step_
     # sparse) under SPMD: the batch's unique row ids are global (XLA
     # all-gathers the dp-sharded walk ids for the sort), sub-table
@@ -75,6 +78,10 @@ class ShardedNode2Vec:
             raise ValueError(f"unknown update_mode {config.update_mode!r}")
         if config.update_mode == "sparse" and config.train_mode != "block":
             raise ValueError("update_mode='sparse' requires "
+                             "train_mode='block'")
+        if (config.negative_distribution != "uniform"
+                and config.train_mode != "block"):
+            raise ValueError("negative_distribution='degree75' requires "
                              "train_mode='block'")
         self.model = SkipGramModel(
             graph.num_nodes, config.dim,
@@ -112,6 +119,16 @@ class ShardedNode2Vec:
             else:
                 self.hash_table = self.edge_tab[:1]  # unused placeholder
                 self.fat6 = (self.edge_tab[:1], self.edge_tab[:1])
+        self.neg_tabs = None
+        if config.negative_distribution == "degree75":
+            from torch_random_walk_tpu.utils.alias import (
+                build_alias,
+                degree75_weights,
+            )
+
+            prob, alias = build_alias(degree75_weights(graph.row_ptr))
+            self.neg_tabs = (jax.device_put(prob, self._repl),
+                             jax.device_put(alias, self._repl))
 
     def init(self):
         """Initialize params + opt state already laid out on the mesh."""
@@ -151,17 +168,26 @@ class ShardedNode2Vec:
                                  search_iters=self.graph.search_iters)
 
     @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
-    def _jit_step(self, params, opt_state, targets, epoch, g1, g2, g3, g4, g5):
+    def _jit_step(self, params, opt_state, targets, epoch, g1, g2, g3, g4,
+                  g5, neg_tabs=None):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         walks = self._sample(targets, seed, g1, g2, g3, g4, g5)
         if cfg.train_mode == "block":
-            from torch_random_walk_tpu.models.skipgram import (
-                shared_negative_ids,
-            )
+            if neg_tabs is not None:
+                from torch_random_walk_tpu.utils.alias import (
+                    shared_negative_ids_alias,
+                )
 
-            neg_ids = shared_negative_ids(seed, cfg.shared_negatives,
-                                          self.graph.num_nodes)
+                neg_ids = shared_negative_ids_alias(
+                    seed, cfg.shared_negatives, *neg_tabs)
+            else:
+                from torch_random_walk_tpu.models.skipgram import (
+                    shared_negative_ids,
+                )
+
+                neg_ids = shared_negative_ids(seed, cfg.shared_negatives,
+                                              self.graph.num_nodes)
             if cfg.update_mode == "sparse":
                 # Touched-rows lazy Adam: inlines under this jit, so XLA
                 # lays out the id sort/psum and the feature-local row
@@ -194,4 +220,5 @@ class ShardedNode2Vec:
             g4, g5 = g3, g3
         with jax.set_mesh(self.mesh):
             return self._jit_step(params, opt_state, targets,
-                                  jnp.uint32(epoch), g1, g2, g3, g4, g5)
+                                  jnp.uint32(epoch), g1, g2, g3, g4, g5,
+                                  self.neg_tabs)
