@@ -361,7 +361,7 @@ def main():
         results.append(r)
     kg_results = []
     if args.tier in ("kg", "all"):
-        for objective in ("transe", "distmult"):
+        for objective in ("transe", "rotate", "distmult"):
             r = run_kg(objective=objective, update_mode=args.update_mode)
             print(json.dumps(r), flush=True)
             kg_results.append(r)

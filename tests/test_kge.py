@@ -304,3 +304,47 @@ class TestSparsePairAdam:
         neg = jnp.asarray([[[0, 0, 2]]], jnp.int32)
         with pytest.raises(ValueError, match="custom optax"):
             m.pair_train_step_sparse(params, opt, pos, neg, 9)
+
+
+class TestRotatE:
+    """RotatE (complex-rotation) objective: the model family whose
+    relations COMPOSE around cycles — the exact case where TransE is
+    unrepresentable (see ring_graph docstring)."""
+
+    def test_ring_link_prediction(self):
+        g = ring_graph(24)
+        cfg = KGEmbeddingConfig(dim=16, walk_length=8, objective="rotate",
+                                num_negatives=4, learning_rate=1e-1, seed=1)
+        tr = KGEmbedding(g, cfg)
+        params, losses = tr.train(200)
+        assert losses[-1] < losses[0]
+        metrics = kg_tail_ranking_metrics(
+            tr.model.entity_embeddings(params),
+            tr.model.relation_embeddings(params),
+            np.asarray(g.triples), score="rotate")
+        # Measured: MRR 1.0 at these settings; TransE plateaus at 0.32.
+        assert metrics["mrr"] > 0.9, metrics
+
+    def test_relation_table_is_phases(self):
+        from torch_random_walk_tpu.models.kge import KGEModel
+
+        m = KGEModel(10, 3, dim=8, objective="rotate")
+        params, _ = m.init(0)
+        assert params["rel"].shape == (3, 4)  # D/2 phases per relation
+        assert np.all(np.abs(np.asarray(params["rel"])) <= np.pi + 1e-6)
+
+    def test_odd_dim_rejected(self):
+        from torch_random_walk_tpu.models.kge import KGEModel
+
+        with pytest.raises(ValueError, match="even dim"):
+            KGEModel(10, 3, dim=7, objective="rotate")
+
+    def test_sparse_step_supported(self):
+        g = ring_graph(16)
+        cfg = KGEmbeddingConfig(dim=8, walk_length=4, objective="rotate",
+                                update_mode="sparse", seed=2)
+        tr = KGEmbedding(g, cfg)
+        params, opt = tr.init()
+        targets = jnp.arange(16, dtype=jnp.int32)
+        params, opt, loss = tr.epoch_step(params, opt, targets, 0)
+        assert np.isfinite(float(loss))

@@ -170,7 +170,7 @@ def kg_train_main(argv=None):
     ap.add_argument("--window", type=int, default=3,
                     help="context window (skipgram/cbow objectives)")
     ap.add_argument("--objective", default="transe",
-                    choices=["transe", "distmult", "skipgram", "cbow"])
+                    choices=["transe", "distmult", "rotate", "skipgram", "cbow"])
     ap.add_argument("--negatives", type=int, default=8,
                     help="corrupted negatives per positive "
                          "(transe/distmult)")
@@ -216,7 +216,7 @@ def kg_train_main(argv=None):
                                axis=1)
     test = None
     if args.eval_holdout > 0:
-        if args.objective not in ("transe", "distmult"):
+        if args.objective not in ("transe", "distmult", "rotate"):
             ap.error("--eval-holdout needs a triple-scoring objective "
                      "(transe or distmult); the co-occurrence objectives "
                      "have no tail-ranking score")
@@ -293,7 +293,7 @@ def kg_train_main(argv=None):
     metrics.close()
     log.info("saved %s entity + %s relation embeddings -> %s",
              ent.shape, rel.shape, args.out)
-    if test is not None and args.objective in ("transe", "distmult"):
+    if test is not None and args.objective in ("transe", "distmult", "rotate"):
         from torch_random_walk_tpu.models.eval import kg_tail_ranking_metrics
 
         m = kg_tail_ranking_metrics(ent, rel, test, score=args.objective,

@@ -110,6 +110,15 @@ def kg_tail_ranking_metrics(ent_emb, rel_emb, test_triples,
             s = -np.linalg.norm(ent[h] + rel[r] - ent, axis=1)
         elif score == "distmult":
             s = ent @ (ent[h] * rel[r])
+        elif score == "rotate":
+            half = ent.shape[1] // 2
+            re_h, im_h = ent[h, :half], ent[h, half:]
+            cos, sin = np.cos(rel[r]), np.sin(rel[r])
+            rot_re = re_h * cos - im_h * sin
+            rot_im = re_h * sin + im_h * cos
+            d = np.concatenate([rot_re - ent[:, :half],
+                                rot_im - ent[:, half:]], axis=1)
+            s = -np.linalg.norm(d, axis=1)
         else:
             raise ValueError(f"unknown score {score!r}")
         if known:

@@ -9,13 +9,16 @@ downstream consumer those batches exist for.
 Two objective families, both functional (params in / params out), jitted,
 and shardable exactly like SkipGramModel:
 
-- **Link-prediction KGE** (``objective="transe" | "distmult"``): positives
-  are the (h, r, t) triples the walks visit; negatives are locally-corrupted
-  copies (head or tail replaced by a uniform entity — the standard
-  local-closed-world negatives, which the reference's generators do not
-  provide because its negatives are *co-occurrence* negatives).  Logistic
-  NEG loss over the score s(h,r,t): TransE ``margin - ||e_h + w_r - e_t||``
-  or DistMult ``<e_h, w_r, e_t>``.  Evaluated by tail-ranking MRR/Hits@k
+- **Link-prediction KGE** (``objective="transe" | "distmult" | "rotate"``):
+  positives are the (h, r, t) triples the walks visit; negatives are
+  locally-corrupted copies (head or tail replaced by a uniform entity — the
+  standard local-closed-world negatives, which the reference's generators do
+  not provide because its negatives are *co-occurrence* negatives).
+  Logistic NEG loss over the score s(h,r,t): TransE
+  ``margin - ||e_h + w_r - e_t||``, DistMult ``<e_h, w_r, e_t>``, or RotatE
+  ``margin - ||e_h * exp(i*theta_r) - e_t||`` (complex rotation — the
+  model family that can represent the cyclic relations TransE provably
+  cannot).  Evaluated by tail-ranking MRR/Hits@k
   (models/eval.py::kg_tail_ranking_metrics).
 - **Co-occurrence skip-gram/CBOW over composed triple vectors**
   (``objective="skipgram" | "cbow"``): consumes exactly the
@@ -43,7 +46,8 @@ import optax
 from torch_random_walk_tpu.graph.triples import TriplesGraph
 from torch_random_walk_tpu.utils import prng
 
-_OBJECTIVES = ("transe", "distmult", "skipgram", "cbow")
+_OBJECTIVES = ("transe", "distmult", "rotate", "skipgram", "cbow")
+_PAIR_OBJECTIVES = ("transe", "distmult", "rotate")
 
 
 def corrupt_triples(pos_triples, num_entities: int, num_neg: int, seed,
@@ -85,6 +89,9 @@ class KGEModel:
         if objective not in _OBJECTIVES:
             raise ValueError(f"unknown objective {objective!r}; "
                              f"expected one of {_OBJECTIVES}")
+        if objective == "rotate" and dim % 2:
+            raise ValueError("rotate needs an even dim (entity rows are "
+                             f"dim/2 complex pairs); got dim={dim}")
         self.num_entities = num_entities
         self.num_relations = num_relations
         self.dim = dim
@@ -111,9 +118,15 @@ class KGEModel:
             ).astype(self.dtype)
 
         ks = jax.random.split(key, 4)
-        if self.objective in ("transe", "distmult"):
-            params = {"ent": table(ks[0], self.num_entities),
-                      "rel": table(ks[1], self.num_relations)}
+        if self.objective in _PAIR_OBJECTIVES:
+            if self.objective == "rotate":
+                # Relations are D/2 rotation phases in [-pi, pi).
+                rel = jax.random.uniform(
+                    ks[1], (self.num_relations, self.dim // 2),
+                    jnp.float32, -jnp.pi, jnp.pi).astype(self.dtype)
+            else:
+                rel = table(ks[1], self.num_relations)
+            params = {"ent": table(ks[0], self.num_entities), "rel": rel}
         else:
             # Out tables start at zero, matching SkipGramModel.init.
             zeros_e = jnp.zeros((self.num_entities, self.dim), self.dtype)
@@ -124,11 +137,11 @@ class KGEModel:
         return params, self.optimizer.init(params)
 
     def entity_embeddings(self, params):
-        return params["ent" if self.objective in ("transe", "distmult")
+        return params["ent" if self.objective in _PAIR_OBJECTIVES
                       else "ent_in"]
 
     def relation_embeddings(self, params):
-        return params["rel" if self.objective in ("transe", "distmult")
+        return params["rel" if self.objective in _PAIR_OBJECTIVES
                       else "rel_in"]
 
     # -- link-prediction objectives (transe / distmult) ---------------------
@@ -143,6 +156,21 @@ class KGEModel:
         if self.objective == "transe":
             d = (e_h + w_r - e_t).astype(jnp.float32)
             return self.margin - jnp.linalg.norm(d, axis=-1)
+        if self.objective == "rotate":
+            # RotatE (Sun et al. 2019): entities are D/2 complex pairs
+            # (first half = real, second half = imaginary), relations are
+            # unit rotations e^{i*theta}; s = margin - ||h o r - t||.
+            # Rotations COMPOSE around cycles, so ring/grid relations are
+            # representable where TransE's translations are not.
+            half = self.dim // 2
+            re_h = e_h[..., :half].astype(jnp.float32)
+            im_h = e_h[..., half:].astype(jnp.float32)
+            theta = w_r.astype(jnp.float32)
+            cos, sin = jnp.cos(theta), jnp.sin(theta)
+            d_re = re_h * cos - im_h * sin - e_t[..., :half]
+            d_im = re_h * sin + im_h * cos - e_t[..., half:]
+            norm = jnp.sqrt((d_re * d_re + d_im * d_im).sum(axis=-1) + 1e-12)
+            return self.margin - norm
         prod = (e_h * w_r * e_t).astype(jnp.float32)
         return prod.sum(axis=-1)
 
@@ -400,7 +428,7 @@ class KGEmbedding:
         if config.update_mode not in ("dense", "sparse"):
             raise ValueError(f"unknown update_mode {config.update_mode!r}")
         if (config.update_mode == "sparse"
-                and config.objective not in ("transe", "distmult")):
+                and config.objective not in _PAIR_OBJECTIVES):
             raise ValueError("update_mode='sparse' requires a pair "
                              "objective (transe or distmult)")
         self.model = KGEModel(
@@ -442,7 +470,7 @@ class KGEmbedding:
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         walks = self._walk(targets, seed, tab_a, tab_b)
         pad = self.padding_idx
-        if cfg.objective in ("transe", "distmult"):
+        if cfg.objective in _PAIR_OBJECTIVES:
             pos, _ = _triples_targets_and_windows(walks, 1, pad)
             neg = corrupt_triples(pos, self.graph.num_entities,
                                   cfg.num_negatives, seed, epoch)
