@@ -204,3 +204,102 @@ class TestRoutedNode2vec:
         sent = info["exchanged_records"]
         assert num * length <= sent <= 2 * num * (length + 1)
         assert info["exchange_bytes"] == sent * 12
+
+
+class TestRoutedTriples:
+    """Owner-routed KG-triples walks (PartitionedTriples)."""
+
+    def _random_kg(self, n, avg_deg, seed, dead_frac=0.25):
+        import torch_random_walk_tpu as trw
+
+        rng = np.random.default_rng(seed)
+        t = n * avg_deg
+        heads = rng.integers(0, max(int(n * (1 - dead_frac)), 1), t)
+        rels = rng.integers(0, 8, t)
+        tails = rng.integers(0, n, t)
+        triples = np.stack([heads, rels, tails], axis=1)
+        return trw.TriplesGraph.from_arrays(triples, num_entities=n)
+
+    @pytest.mark.parametrize("dead_frac", [0.0, 0.3])
+    def test_bit_identical_to_single_device(self, mesh, dead_frac):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedTriples,
+            walk_triples_partitioned_routed,
+        )
+
+        g = self._random_kg(1000, 5, seed=7, dead_frac=dead_frac)
+        pad = g.num_entities + 3
+        pg = PartitionedTriples.from_triples(g, mesh.devices.size)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_entities
+        routed, info = walk_triples_partitioned_routed(
+            pg, targets, mesh, walk_length=7, padding_idx=pad, seed=11)
+        assert info["overflow_dropped"] == 0
+        assert info["terminated"] == 256
+        single = trw.walk_triples(g, target_nodes=targets, walk_length=7,
+                                  padding_idx=pad, seed=11)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+
+    def test_hub_head_and_carry_starvation(self, mesh):
+        """One head owns most triples (all walkers route to its shard) and
+        capacities are deliberately starved: carry-over must queue, not
+        drop, and the result stays bit-identical."""
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedTriples,
+            walk_triples_partitioned_routed,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 64
+        hub = [(h, 0, 0) for h in range(n)]  # every entity points at 0
+        fan = [(0, 1, t) for t in range(n)]  # entity 0 fans out everywhere
+        g = trw.TriplesGraph.from_arrays(np.array(hub + fan), num_entities=n)
+        pg = PartitionedTriples.from_triples(g, mesh.devices.size)
+        targets = jnp.arange(64, dtype=jnp.int32)
+        cfg = RoutedConfig(pair_capacity=8, log_capacity=64 * 7,
+                           max_phases=400, carry_capacity=64)
+        routed, info = walk_triples_partitioned_routed(
+            pg, targets, mesh, walk_length=6, padding_idx=n, seed=5,
+            config=cfg)
+        assert info["overflow_dropped"] == 0
+        single = trw.walk_triples(g, target_nodes=targets, walk_length=6,
+                                  padding_idx=n, seed=5)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+
+    def test_all_absorbed_terminates_early(self, mesh):
+        """A KG whose every walk absorbs at step 1 must finish in ~1 phase
+        chain, log only real transitions, and still match single-device."""
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedTriples,
+            walk_triples_partitioned_routed,
+        )
+
+        n = 32
+        # Heads 0..7 each have one triple to a dead entity (no out-triples).
+        triples = np.array([(h, 2, 24 + h) for h in range(8)])
+        g = trw.TriplesGraph.from_arrays(triples, num_entities=n)
+        pg = PartitionedTriples.from_triples(g, mesh.devices.size)
+        targets = jnp.arange(32, dtype=jnp.int32) % n
+        routed, info = walk_triples_partitioned_routed(
+            pg, targets, mesh, walk_length=5, padding_idx=n, seed=2)
+        single = trw.walk_triples(g, target_nodes=targets, walk_length=5,
+                                  padding_idx=n, seed=2)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+        assert info["terminated"] == 32
+        # Dead-head walkers log 1 entry, absorbed-at-step-2 walkers log 2.
+        assert info["log_entries"] < 32 * 5
+
+    def test_divisibility_error(self, mesh):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedTriples,
+            walk_triples_partitioned_routed,
+        )
+
+        g = self._random_kg(100, 3, seed=1)
+        pg = PartitionedTriples.from_triples(g, mesh.devices.size)
+        with pytest.raises(ValueError, match="divisible"):
+            walk_triples_partitioned_routed(
+                pg, jnp.arange(13, dtype=jnp.int32), mesh, 4, 100)

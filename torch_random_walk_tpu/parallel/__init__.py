@@ -10,6 +10,13 @@ from torch_random_walk_tpu.parallel.partition import (
     walk_partitioned,
     walk_partitioned_node2vec,
 )
+from torch_random_walk_tpu.parallel.partition_v2 import (
+    PartitionedTriples,
+    RoutedConfig,
+    walk_partitioned_routed,
+    walk_partitioned_node2vec_routed,
+    walk_triples_partitioned_routed,
+)
 from torch_random_walk_tpu.parallel.trainer import (
     ShardedNode2Vec,
     ShardedNode2VecConfig,
@@ -29,6 +36,11 @@ __all__ = [
     "build_partition_hashes",
     "walk_partitioned",
     "walk_partitioned_node2vec",
+    "PartitionedTriples",
+    "RoutedConfig",
+    "walk_partitioned_routed",
+    "walk_partitioned_node2vec_routed",
+    "walk_triples_partitioned_routed",
     "ShardedNode2Vec",
     "ShardedNode2VecConfig",
     "ShardedKGEmbedding",

@@ -746,3 +746,272 @@ def _assemble(logs, num_walkers, walk_length):
     walks = jnp.zeros((num_walkers + 1, walk_length + 2), jnp.int32)
     walks = walks.at[row, coli].set(flat[:, 2].astype(jnp.int32))
     return walks[:num_walkers, : walk_length + 1]
+
+
+# ---------------------------------------------------------------------------
+# KG-triples family: owner-routed partitioned walks.
+# ---------------------------------------------------------------------------
+
+# Triples record layout (uint32 words): wid, completed steps, entity.
+_R_TRIPLES = 3
+# Triples log layout: wid, step, relation, tail.
+_LOG_TRIPLES = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionedTriples:
+    """TriplesGraph split into contiguous head-entity-range partitions.
+
+    Because the triples table is sorted by head (graph/triples.py), each
+    shard's triples are one contiguous slice; ``node_meta_shards[d, i]`` =
+    (start-within-slice, count) for local head ``d*S + i``, and
+    ``rel_tail_shards[d]`` holds that slice's (relation, tail) columns
+    padded to E_max rows.  Beyond-HBM scaling for the KG walk family —
+    the same shape as PartitionedCSR for node walks.
+    """
+
+    node_meta_shards: jnp.ndarray  # (D, S, 2) int32 [local start, cnt]
+    rel_tail_shards: jnp.ndarray   # (D, E_max, 2) int32
+    num_entities: int
+    num_shards: int
+    shard_entities: int
+
+    @classmethod
+    def from_triples(cls, graph, num_shards: int) -> "PartitionedTriples":
+        t = np.asarray(graph.triples)
+        index = np.asarray(graph.relation_tail_index)
+        n = graph.num_entities
+        s = -(-n // num_shards)
+        starts = index[:, 0].copy()
+        ends = index[:, 1].copy()
+        cnts = np.where(starts >= 0, ends - starts + 1, 0).astype(np.int64)
+        # Cumulative form so empty heads get a valid (unused) local start.
+        gstart = np.zeros(n, np.int64)
+        np.cumsum(cnts[:-1], out=gstart[1:])
+        metas, slices = [], []
+        for d in range(num_shards):
+            lo, hi = min(d * s, n), min((d + 1) * s, n)
+            base = gstart[lo] if hi > lo else 0
+            local_start = gstart[lo:hi] - base
+            cnt = cnts[lo:hi]
+            pad = s - (hi - lo)
+            metas.append(np.stack([
+                np.concatenate([local_start, np.zeros(pad, np.int64)]),
+                np.concatenate([cnt, np.zeros(pad, np.int64)]),
+            ], axis=1).astype(np.int32))
+            end = gstart[hi - 1] + cnts[hi - 1] if hi > lo else 0
+            slices.append(t[base:end, 1:3].astype(np.int32))
+        e_max = max(max((sl.shape[0] for sl in slices), default=0), 1)
+        rt = np.zeros((num_shards, e_max, 2), np.int32)
+        for d, sl in enumerate(slices):
+            rt[d, : sl.shape[0]] = sl
+        return cls(
+            node_meta_shards=jnp.asarray(np.stack(metas)),
+            rel_tail_shards=jnp.asarray(rt),
+            num_entities=n,
+            num_shards=num_shards,
+            shard_entities=s,
+        )
+
+    def device_put(self, mesh: Mesh, axis: str = "data"):
+        sharding = NamedSharding(mesh, P(axis))
+        return (jax.device_put(self.node_meta_shards, sharding),
+                jax.device_put(self.rel_tail_shards, sharding))
+
+
+@functools.lru_cache(maxsize=64)
+def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
+                        shard_entities: int, num_walkers: int,
+                        walk_length: int, padding_idx: int, cap: int,
+                        ccap: int, log_cap: int, max_phases: int,
+                        exchange: str, exchange_interpret: bool):
+    """Owner-routed KG-triples walks: each arrival is one local (S, 2)
+    meta-row gather + one (E_max, 2) rel/tail row gather + a threefry draw;
+    the (relation, tail) transition is logged and the walker is forwarded to
+    owner(tail).  Absorbing-padding semantics (rw_cpu_triples.cpp:38-42) let
+    absorbed walkers TERMINATE instead of shipping pad records for the
+    remaining steps — the padded slots are pre-filled at assembly, and the
+    draws they would have consumed are masked to pad in the single-device
+    engine too, so bit-identity is preserved."""
+    sentinel = _SENTINEL
+
+    def shard_fn(key, meta, rt, tgt_local):
+        meta = meta[0]          # (S, 2) [local start, cnt]
+        rt = rt[0]              # (E_max, 2) [relation, tail]
+        my = lax.axis_index(axis)
+        e_max = rt.shape[0]
+        blk = num_walkers // nshards
+        pad = jnp.int32(padding_idx)
+
+        wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
+        rec0 = jnp.stack([wid0, jnp.zeros((blk,), jnp.uint32),
+                          tgt_local.astype(jnp.uint32)], axis=1)
+        dest0 = jnp.clip(tgt_local // shard_entities, 0, nshards - 1)
+        valid0 = jnp.ones((blk,), bool)
+
+        def build_outbox(recs, dests, valid, carry, carry_valid):
+            return _build_outbox(recs, dests, valid, carry, carry_valid,
+                                 nshards, cap, ccap)
+
+        outbox, carry, carry_valid, ovf0 = build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_TRIPLES))
+
+        log = jnp.zeros((log_cap + 1, _LOG_TRIPLES),
+                        jnp.uint32).at[:, 0].set(sentinel)
+        log_n = jnp.int32(0)
+
+        a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
+
+        def phase(state):
+            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
+             phases, overflow, done) = state
+            inbox = a2a(outbox)
+            recs = inbox.reshape(-1, _R_TRIPLES)
+            wid = recs[:, 0]
+            arrived = wid != sentinel
+            step = recs[:, 1]           # completed steps
+            v = recs[:, 2].astype(jnp.int32)
+
+            stepping = arrived & (step < walk_length)
+            local = jnp.clip(v - my * shard_entities, 0, shard_entities - 1)
+            rows = meta[local]
+            start, cnt = rows[:, 0], rows[:, 1]
+            has = (cnt > 0) & (v != pad)
+            # Transition step+1 consumes the SAME (wid, (step+1)<<16)
+            # counters as ops.triples_walk.uniform_walk_triples.
+            c1 = prng.step_round_counter(step + jnp.uint32(1))
+            bits, _ = prng.counter_bits(key, wid, c1)
+            off = prng.randint_from_bits(bits, jnp.maximum(cnt, 1))
+            idx = jnp.clip(start + off.astype(start.dtype), 0, e_max - 1)
+            rel = jnp.where(has, rt[idx, 0], pad)
+            tail = jnp.where(has, rt[idx, 1], pad)
+
+            # Log the (relation, tail) pair for every stepping arrival.
+            pos = log_n + jnp.cumsum(stepping.astype(jnp.int32)) - 1
+            slot = jnp.where(stepping & (pos < log_cap), pos, log_cap)
+            entry = jnp.stack([wid, step + 1, rel.astype(jnp.uint32),
+                               tail.astype(jnp.uint32)], axis=1)
+            log = log.at[slot].set(entry)
+            log_n = log_n + jnp.sum(stepping.astype(jnp.int32))
+
+            # Forward only walkers with real transitions left; absorbed or
+            # finished walkers terminate here.
+            forward = stepping & has & (step + 1 < walk_length) & (tail != pad)
+            done = done + jnp.sum((stepping & ~forward).astype(jnp.int32))
+            new_rec = jnp.stack([wid, step + 1, tail.astype(jnp.uint32)],
+                                axis=1)
+            new_rec = jnp.where(forward[:, None], new_rec,
+                                jnp.zeros_like(new_rec).at[:, 0].set(
+                                    sentinel))
+            dest = jnp.clip(tail // shard_entities, 0, nshards - 1)
+
+            outbox, carry, carry_valid, ovf = build_outbox(
+                new_rec, dest, forward, carry, carry_valid)
+            sent = (jnp.sum(forward.astype(jnp.int32))
+                    + jnp.sum(carry_valid.astype(jnp.int32)))
+            inflight = lax.psum(
+                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
+                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
+            return (outbox, carry, carry_valid, log, log_n, inflight,
+                    sent_recs + sent, phases + 1, overflow + ovf, done)
+
+        def cond(state):
+            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
+
+        init_inflight = lax.psum(
+            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+
+        def varying(x):
+            if exchange == "pallas":
+                return x
+            return lax.pcast(x, axis, to="varying")
+
+        state = (outbox, carry, carry_valid, varying(log), varying(log_n),
+                 init_inflight, varying(jnp.int32(0)), jnp.int32(0), ovf0,
+                 varying(jnp.int32(0)))
+        state = lax.while_loop(cond, phase, state)
+        (_, _, _, log, log_n, _, sent_recs, phases, overflow, done) = state
+        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
+        return log[None, :log_cap], stats[None]
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=(exchange != "pallas"),
+        )
+    )
+
+
+@partial(jax.jit, static_argnames=("num_walkers", "walk_length",
+                                   "padding_idx"))
+def _assemble_triples(logs, targets, num_walkers, walk_length, padding_idx):
+    """Scatter (D, log_cap, 4) transition logs into the (B, 2L+1) walk
+    tensor pre-filled with padding (absorbed steps are never logged)."""
+    flat = logs.reshape(-1, _LOG_TRIPLES)
+    wid = flat[:, 0]
+    ok = wid != _SENTINEL
+    row = jnp.where(ok, wid, num_walkers).astype(jnp.int32)
+    step = flat[:, 1].astype(jnp.int32)
+    width = 2 * walk_length + 1
+    walks = jnp.full((num_walkers + 1, width + 1), padding_idx, jnp.int32)
+    walks = walks.at[:num_walkers, 0].set(jnp.asarray(targets, jnp.int32))
+    rel_col = jnp.where(ok, 2 * step - 1, width)
+    tail_col = jnp.where(ok, 2 * step, width)
+    walks = walks.at[row, rel_col].set(flat[:, 2].astype(jnp.int32))
+    walks = walks.at[row, tail_col].set(flat[:, 3].astype(jnp.int32))
+    return walks[:num_walkers, :width]
+
+
+def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
+                                    mesh: Mesh, walk_length: int,
+                                    padding_idx: int, seed: int = 0,
+                                    axis: str = "data",
+                                    config: RoutedConfig | None = None,
+                                    exchange: str = "xla",
+                                    exchange_interpret: bool = False):
+    """KG-triples walks over a head-range-partitioned triples table with
+    owner-routed walker exchange.  Returns (walks (B, 2L+1) int32, stats);
+    bit-identical to ops.walk.walk_triples on the unpartitioned graph.
+    """
+    num_walkers = int(target_nodes.shape[0])
+    nshards = pgraph.num_shards
+    if num_walkers % nshards:
+        raise ValueError(
+            f"num_walkers ({num_walkers}) must be divisible by the shard "
+            f"count ({nshards}); pad the target batch.")
+    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    meta_sh, rt_sh = pgraph.device_put(mesh, axis)
+    targets = jax.device_put(
+        jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
+    fn = _routed_triples_jit(mesh, axis, nshards, pgraph.shard_entities,
+                             num_walkers, walk_length, int(padding_idx),
+                             cfg.pair_capacity, cfg.carry, cfg.log_capacity,
+                             cfg.max_phases, exchange,
+                             bool(exchange_interpret))
+    key = jax.device_put(
+        jnp.stack(prng.derive_key(int(seed), prng.STREAM_TRIPLES)),
+        NamedSharding(mesh, P()))
+    logs, stats = fn(key, meta_sh, rt_sh, targets)
+    walks = _assemble_triples(logs, jnp.asarray(target_nodes, jnp.int32),
+                              num_walkers, walk_length, int(padding_idx))
+    stats = np.asarray(stats)
+    info = {
+        "log_entries": int(stats[:, 0].sum()),
+        "exchanged_records": int(stats[:, 1].sum()),
+        "phases": int(stats[:, 2].max()),
+        "overflow_dropped": int(stats[:, 3].sum()),
+        "terminated": int(stats[:, 4].sum()),
+        "exchange_bytes": int(stats[:, 1].sum()) * _R_TRIPLES * 4,
+    }
+    if info["overflow_dropped"] or info["terminated"] != num_walkers:
+        raise RuntimeError(
+            f"routed triples walk incomplete: {info['overflow_dropped']} "
+            f"records dropped, {info['terminated']}/{num_walkers} walkers "
+            f"terminated after {info['phases']} phases — raise RoutedConfig "
+            f"capacities (pair_capacity={cfg.pair_capacity}, "
+            f"carry={cfg.carry}, max_phases={cfg.max_phases})")
+    return walks, info
