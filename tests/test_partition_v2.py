@@ -303,3 +303,85 @@ class TestRoutedTriples:
         with pytest.raises(ValueError, match="divisible"):
             walk_triples_partitioned_routed(
                 pg, jnp.arange(13, dtype=jnp.int32), mesh, 4, 100)
+
+
+class TestRoutedEdgeList:
+    """Owner-routed edge-list walks (PartitionedEdgeList): padding/restart
+    dead-end semantics resolved locally via the target word in the record."""
+
+    def _graph(self, n, avg_deg, seed, dead_frac=0.3):
+        import torch_random_walk_tpu as trw
+
+        rng = np.random.default_rng(seed)
+        e = n * avg_deg
+        src = rng.integers(0, max(int(n * (1 - dead_frac)), 1), e)
+        dst = rng.integers(0, n, e)
+        return trw.EdgeListGraph.from_arrays(
+            np.stack([src, dst], axis=1), num_nodes=n)
+
+    @pytest.mark.parametrize("restart", [True, False])
+    def test_bit_identical_to_single_device(self, mesh, restart):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedEdgeList,
+            walk_edge_list_partitioned_routed,
+        )
+
+        g = self._graph(1200, 4, seed=17)
+        pad = g.num_nodes + 9
+        pg = PartitionedEdgeList.from_edge_list(g, mesh.devices.size)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_nodes
+        routed, info = walk_edge_list_partitioned_routed(
+            pg, targets, mesh, walk_length=9, padding_idx=pad,
+            restart=restart, seed=23)
+        assert info["overflow_dropped"] == 0
+        assert info["terminated"] == 256
+        single = trw.walk_edge_list(g, target_nodes=targets, walk_length=9,
+                                    seed=23, padding_idx=pad,
+                                    restart=restart)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+
+    def test_restart_cycles_through_dead_ends(self, mesh):
+        """A graph where EVERY walk hits a dead end repeatedly: restart
+        keeps walkers bouncing back to their targets (the fused local jump),
+        still bit-identical and zero-drop."""
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedEdgeList,
+            walk_edge_list_partitioned_routed,
+        )
+
+        n = 48
+        # Nodes 0..15 each point at one dead node (16..47 have no edges).
+        el = np.stack([np.arange(16), 16 + np.arange(16) % 32], axis=1)
+        g = trw.EdgeListGraph.from_arrays(el, num_nodes=n)
+        pg = PartitionedEdgeList.from_edge_list(g, mesh.devices.size)
+        targets = jnp.arange(48, dtype=jnp.int32) % 16
+        routed, info = walk_edge_list_partitioned_routed(
+            pg, targets, mesh, walk_length=8, padding_idx=n, restart=True,
+            seed=31)
+        single = trw.walk_edge_list(g, target_nodes=targets, walk_length=8,
+                                    seed=31, padding_idx=n, restart=True)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+        assert info["terminated"] == 48
+
+    def test_absorbing_terminates_early(self, mesh):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedEdgeList,
+            walk_edge_list_partitioned_routed,
+        )
+
+        n = 48
+        el = np.stack([np.arange(16), 16 + np.arange(16)], axis=1)
+        g = trw.EdgeListGraph.from_arrays(el, num_nodes=n)
+        pg = PartitionedEdgeList.from_edge_list(g, mesh.devices.size)
+        targets = jnp.arange(48, dtype=jnp.int32) % 16
+        routed, info = walk_edge_list_partitioned_routed(
+            pg, targets, mesh, walk_length=10, padding_idx=n, restart=False,
+            seed=31)
+        single = trw.walk_edge_list(g, target_nodes=targets, walk_length=10,
+                                    seed=31, padding_idx=n, restart=False)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+        # Absorbed walks log only their first two positions.
+        assert info["log_entries"] < 48 * 10

@@ -11,10 +11,12 @@ from torch_random_walk_tpu.parallel.partition import (
     walk_partitioned_node2vec,
 )
 from torch_random_walk_tpu.parallel.partition_v2 import (
+    PartitionedEdgeList,
     PartitionedTriples,
     RoutedConfig,
     walk_partitioned_routed,
     walk_partitioned_node2vec_routed,
+    walk_edge_list_partitioned_routed,
     walk_triples_partitioned_routed,
 )
 from torch_random_walk_tpu.parallel.trainer import (
@@ -36,8 +38,10 @@ __all__ = [
     "build_partition_hashes",
     "walk_partitioned",
     "walk_partitioned_node2vec",
+    "PartitionedEdgeList",
     "PartitionedTriples",
     "RoutedConfig",
+    "walk_edge_list_partitioned_routed",
     "walk_partitioned_routed",
     "walk_partitioned_node2vec_routed",
     "walk_triples_partitioned_routed",

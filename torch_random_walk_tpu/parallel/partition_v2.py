@@ -1015,3 +1015,284 @@ def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
             f"capacities (pair_capacity={cfg.pair_capacity}, "
             f"carry={cfg.carry}, max_phases={cfg.max_phases})")
     return walks, info
+
+
+# ---------------------------------------------------------------------------
+# Edge-list family: owner-routed partitioned walks (padding/restart).
+# ---------------------------------------------------------------------------
+
+# Edge-list record layout (uint32 words): wid, completed steps, node, target.
+# The start node rides in the record so a dead-end restart
+# (rw_cpu_edge_list.cpp:103-108 jump_node semantics) is resolved LOCALLY:
+# the pad position and the jump-back-to-target position are both logged by
+# the shard that discovered the dead end, and the walker is forwarded
+# straight to owner(target) — the pad "node" never needs an owner.
+_R_EDGE = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitionedEdgeList:
+    """EdgeListGraph split into contiguous head-node-range partitions.
+
+    The indexed edge list is sorted by head (graph/edge_list.py), so each
+    shard's out-edges are one contiguous slice; ``node_meta_shards[d, i]``
+    = (start-within-slice, count) for local head ``d*S + i`` and
+    ``tail_shards[d]`` that slice's tail column padded to E_max."""
+
+    node_meta_shards: jnp.ndarray  # (D, S, 2) int32 [local start, cnt]
+    tail_shards: jnp.ndarray       # (D, E_max) int32
+    num_nodes: int
+    num_shards: int
+    shard_nodes: int
+
+    @classmethod
+    def from_edge_list(cls, graph, num_shards: int) -> "PartitionedEdgeList":
+        el = np.asarray(graph.edge_list)
+        index = np.asarray(graph.node_edge_index)
+        n = graph.num_nodes
+        s = -(-n // num_shards)
+        starts = index[:, 0]
+        cnts = np.where(starts >= 0, index[:, 1] - starts + 1, 0).astype(
+            np.int64)
+        gstart = np.zeros(n, np.int64)
+        np.cumsum(cnts[:-1], out=gstart[1:])
+        metas, slices = [], []
+        for d in range(num_shards):
+            lo, hi = min(d * s, n), min((d + 1) * s, n)
+            base = gstart[lo] if hi > lo else 0
+            local_start = gstart[lo:hi] - base
+            cnt = cnts[lo:hi]
+            pad = s - (hi - lo)
+            metas.append(np.stack([
+                np.concatenate([local_start, np.zeros(pad, np.int64)]),
+                np.concatenate([cnt, np.zeros(pad, np.int64)]),
+            ], axis=1).astype(np.int32))
+            end = gstart[hi - 1] + cnts[hi - 1] if hi > lo else 0
+            slices.append(el[base:end, 1].astype(np.int32))
+        e_max = max(max((sl.shape[0] for sl in slices), default=0), 1)
+        tails = np.zeros((num_shards, e_max), np.int32)
+        for d, sl in enumerate(slices):
+            tails[d, : sl.shape[0]] = sl
+        return cls(
+            node_meta_shards=jnp.asarray(np.stack(metas)),
+            tail_shards=jnp.asarray(tails),
+            num_nodes=n,
+            num_shards=num_shards,
+            shard_nodes=s,
+        )
+
+    def device_put(self, mesh: Mesh, axis: str = "data"):
+        sharding = NamedSharding(mesh, P(axis))
+        return (jax.device_put(self.node_meta_shards, sharding),
+                jax.device_put(self.tail_shards, sharding))
+
+
+@functools.lru_cache(maxsize=64)
+def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
+                          shard_nodes: int, num_walkers: int,
+                          walk_length: int, padding_idx: int, restart: bool,
+                          cap: int, ccap: int, log_cap: int, max_phases: int,
+                          exchange: str, exchange_interpret: bool):
+    sentinel = _SENTINEL
+
+    def shard_fn(key, meta, tails, tgt_local):
+        meta = meta[0]
+        tails = tails[0]
+        my = lax.axis_index(axis)
+        e_max = tails.shape[0]
+        blk = num_walkers // nshards
+        pad = jnp.int32(padding_idx)
+
+        wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
+        t0 = tgt_local.astype(jnp.uint32)
+        rec0 = jnp.stack([wid0, jnp.zeros((blk,), jnp.uint32), t0, t0],
+                         axis=1)
+        dest0 = jnp.clip(tgt_local // shard_nodes, 0, nshards - 1)
+        valid0 = jnp.ones((blk,), bool)
+
+        def build_outbox(recs, dests, valid, carry, carry_valid):
+            return _build_outbox(recs, dests, valid, carry, carry_valid,
+                                 nshards, cap, ccap)
+
+        outbox, carry, carry_valid, ovf0 = build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_EDGE))
+
+        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
+        log_n = jnp.int32(0)
+
+        a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
+
+        def phase(state):
+            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
+             phases, overflow, done) = state
+            inbox = a2a(outbox)
+            recs = inbox.reshape(-1, _R_EDGE)
+            wid = recs[:, 0]
+            arrived = wid != sentinel
+            step = recs[:, 1]
+            v = recs[:, 2].astype(jnp.int32)
+            tgt = recs[:, 3]
+
+            stepping = arrived & (step < walk_length)
+            local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
+            rows = meta[local]
+            start, cnt = rows[:, 0], rows[:, 1]
+            # Same counters as ops.edge_list_walk.uniform_walk_edge_list:
+            # transition s consumes (wid, s << 16) on STREAM_EDGE_UNIFORM.
+            c1 = prng.step_round_counter(step + jnp.uint32(1))
+            bits, _ = prng.counter_bits(key, wid, c1)
+            off = prng.randint_from_bits(bits, jnp.maximum(cnt, 1))
+            idx = jnp.clip(start + off.astype(start.dtype), 0, e_max - 1)
+            nxt = jnp.where(cnt > 0, tails[idx], pad)
+            # cur == padding -> jump (sample_edge_neighbor's first branch):
+            # only reachable when a TARGET equals padding_idx (pad nodes are
+            # otherwise never forwarded), or when padding_idx is a real node
+            # id a walk can visit.
+            vpad = v == pad
+            jump = jnp.where(jnp.bool_(restart), tgt.astype(jnp.int32), pad)
+            nxt = jnp.where(vpad, jump, nxt)
+            s1 = step + 1
+
+            # Log position s1 for every stepping arrival.
+            n1 = jnp.sum(stepping.astype(jnp.int32))
+            pos = log_n + jnp.cumsum(stepping.astype(jnp.int32)) - 1
+            slot = jnp.where(stepping & (pos < log_cap), pos, log_cap)
+            log = log.at[slot].set(
+                jnp.stack([wid, s1, nxt.astype(jnp.uint32)], axis=1))
+            log_n = log_n + n1
+
+            # Dead end: with restart, fuse the deterministic pad -> target
+            # jump locally (log position s1+1 = target) and forward the
+            # walker straight to owner(target).
+            dead = stepping & (nxt == pad)
+            fuse = dead & bool(restart) & (s1 < walk_length)
+            n2 = jnp.sum(fuse.astype(jnp.int32))
+            pos2 = log_n + jnp.cumsum(fuse.astype(jnp.int32)) - 1
+            slot2 = jnp.where(fuse & (pos2 < log_cap), pos2, log_cap)
+            log = log.at[slot2].set(
+                jnp.stack([wid, s1 + 1, tgt], axis=1))
+            log_n = log_n + n2
+
+            fwd_normal = stepping & (nxt != pad) & (s1 < walk_length)
+            fwd_fused = fuse & (s1 + 1 < walk_length)
+            forward = fwd_normal | fwd_fused
+            done = done + jnp.sum((stepping & ~forward).astype(jnp.int32))
+            fstep = jnp.where(fwd_fused, s1 + 1, s1)
+            fnode = jnp.where(fwd_fused, tgt, nxt.astype(jnp.uint32))
+            new_rec = jnp.stack([wid, fstep, fnode, tgt], axis=1)
+            new_rec = jnp.where(forward[:, None], new_rec,
+                                jnp.zeros_like(new_rec).at[:, 0].set(
+                                    sentinel))
+            dest = jnp.clip(fnode.astype(jnp.int32) // shard_nodes, 0,
+                            nshards - 1)
+
+            outbox, carry, carry_valid, ovf = build_outbox(
+                new_rec, dest, forward, carry, carry_valid)
+            sent = (jnp.sum(forward.astype(jnp.int32))
+                    + jnp.sum(carry_valid.astype(jnp.int32)))
+            inflight = lax.psum(
+                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
+                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
+            return (outbox, carry, carry_valid, log, log_n, inflight,
+                    sent_recs + sent, phases + 1, overflow + ovf, done)
+
+        def cond(state):
+            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
+
+        init_inflight = lax.psum(
+            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+
+        def varying(x):
+            if exchange == "pallas":
+                return x
+            return lax.pcast(x, axis, to="varying")
+
+        state = (outbox, carry, carry_valid, varying(log), varying(log_n),
+                 init_inflight, varying(jnp.int32(0)), jnp.int32(0), ovf0,
+                 varying(jnp.int32(0)))
+        state = lax.while_loop(cond, phase, state)
+        (_, _, _, log, log_n, _, sent_recs, phases, overflow, done) = state
+        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
+        return log[None, :log_cap], stats[None]
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=(exchange != "pallas"),
+        )
+    )
+
+
+@partial(jax.jit, static_argnames=("num_walkers", "walk_length",
+                                   "padding_idx"))
+def _assemble_edge_list(logs, targets, num_walkers, walk_length,
+                        padding_idx):
+    """Scatter (D, log_cap, 3) position logs into a pad-pre-filled
+    (B, L+1) walk tensor (absorbed steps are never logged)."""
+    flat = logs.reshape(-1, 3)
+    wid = flat[:, 0]
+    ok = wid != _SENTINEL
+    row = jnp.where(ok, wid, num_walkers).astype(jnp.int32)
+    coli = jnp.where(ok, flat[:, 1], walk_length + 1).astype(jnp.int32)
+    walks = jnp.full((num_walkers + 1, walk_length + 2), padding_idx,
+                     jnp.int32)
+    walks = walks.at[:num_walkers, 0].set(jnp.asarray(targets, jnp.int32))
+    walks = walks.at[row, coli].set(flat[:, 2].astype(jnp.int32))
+    return walks[:num_walkers, : walk_length + 1]
+
+
+def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
+                                      target_nodes, mesh: Mesh,
+                                      walk_length: int, padding_idx: int,
+                                      restart: bool = True, seed: int = 0,
+                                      axis: str = "data",
+                                      config: RoutedConfig | None = None,
+                                      exchange: str = "xla",
+                                      exchange_interpret: bool = False):
+    """Uniform edge-list walks (padding/restart dead-end semantics) over a
+    head-range-partitioned edge list with owner-routed walker exchange.
+    Returns (walks (B, L+1) int32, stats); bit-identical to
+    ops.walk.walk_edge_list on the unpartitioned graph.
+    """
+    num_walkers = int(target_nodes.shape[0])
+    nshards = pgraph.num_shards
+    if num_walkers % nshards:
+        raise ValueError(
+            f"num_walkers ({num_walkers}) must be divisible by the shard "
+            f"count ({nshards}); pad the target batch.")
+    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    meta_sh, tails_sh = pgraph.device_put(mesh, axis)
+    targets = jax.device_put(
+        jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
+    fn = _routed_edge_list_jit(mesh, axis, nshards, pgraph.shard_nodes,
+                               num_walkers, walk_length, int(padding_idx),
+                               bool(restart), cfg.pair_capacity, cfg.carry,
+                               cfg.log_capacity, cfg.max_phases, exchange,
+                               bool(exchange_interpret))
+    key = jax.device_put(
+        jnp.stack(prng.derive_key(int(seed), prng.STREAM_EDGE_UNIFORM)),
+        NamedSharding(mesh, P()))
+    logs, stats = fn(key, meta_sh, tails_sh, targets)
+    walks = _assemble_edge_list(logs, jnp.asarray(target_nodes, jnp.int32),
+                                num_walkers, walk_length, int(padding_idx))
+    stats = np.asarray(stats)
+    info = {
+        "log_entries": int(stats[:, 0].sum()),
+        "exchanged_records": int(stats[:, 1].sum()),
+        "phases": int(stats[:, 2].max()),
+        "overflow_dropped": int(stats[:, 3].sum()),
+        "terminated": int(stats[:, 4].sum()),
+        "exchange_bytes": int(stats[:, 1].sum()) * _R_EDGE * 4,
+    }
+    if info["overflow_dropped"] or info["terminated"] != num_walkers:
+        raise RuntimeError(
+            f"routed edge-list walk incomplete: {info['overflow_dropped']} "
+            f"records dropped, {info['terminated']}/{num_walkers} walkers "
+            f"terminated after {info['phases']} phases — raise RoutedConfig "
+            f"capacities (pair_capacity={cfg.pair_capacity}, "
+            f"carry={cfg.carry}, max_phases={cfg.max_phases})")
+    return walks, info
