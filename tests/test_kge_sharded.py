@@ -97,3 +97,20 @@ def test_sharded_sparse_matches_single_device():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(p_s["ent"]), np.asarray(p1["ent"]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_rotate_relation_sharding_guard():
+    """RotatE relations are (R, dim/2): a dim whose HALF doesn't divide
+    the model axis must fail loudly at construction, not deep in
+    device_put (review finding)."""
+    mesh = make_mesh((4, 2), ("data", "model"))
+    g = chain_kg(16)
+    with pytest.raises(ValueError, match="dim/2"):
+        ShardedKGEmbedding(g, mesh, ShardedKGEmbeddingConfig(
+            dim=6, objective="rotate"))
+    # dim=8 -> 4 phases, divisible by 2: fine.
+    tr = ShardedKGEmbedding(g, mesh, ShardedKGEmbeddingConfig(
+        dim=8, objective="rotate"))
+    p, o = tr.init()
+    p, o, loss = tr.train_step(p, o, np.arange(16, dtype=np.int32))
+    assert np.isfinite(float(loss))

@@ -385,3 +385,30 @@ class TestRoutedEdgeList:
         np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
         # Absorbed walks log only their first two positions.
         assert info["log_entries"] < 48 * 10
+
+
+def test_routed_walk_length_zero(mesh):
+    """L=0 returns the target-only column for every routed family (review
+    finding: the completeness check spuriously fired with no transitions)."""
+    import torch_random_walk_tpu as trw
+    from torch_random_walk_tpu.parallel.partition_v2 import (
+        PartitionedEdgeList,
+        PartitionedTriples,
+        walk_edge_list_partitioned_routed,
+        walk_triples_partitioned_routed,
+    )
+
+    kg = trw.TriplesGraph.from_arrays(
+        np.array([(i, 0, (i + 1) % 16) for i in range(16)]), num_entities=16)
+    pg = PartitionedTriples.from_triples(kg, mesh.devices.size)
+    t = jnp.arange(16, dtype=jnp.int32)
+    w, info = walk_triples_partitioned_routed(pg, t, mesh, 0, 16)
+    assert w.shape == (16, 1) and (np.asarray(w)[:, 0] == np.arange(16)).all()
+    assert info["terminated"] == 16
+
+    el = trw.EdgeListGraph.from_arrays(
+        np.array([(i, (i + 1) % 16) for i in range(16)]), num_nodes=16)
+    pe = PartitionedEdgeList.from_edge_list(el, mesh.devices.size)
+    w2, info2 = walk_edge_list_partitioned_routed(pe, t, mesh, 0, 16)
+    assert w2.shape == (16, 1)
+    assert info2["overflow_dropped"] == 0

@@ -173,7 +173,7 @@ def kg_train_main(argv=None):
                     choices=["transe", "distmult", "rotate", "skipgram", "cbow"])
     ap.add_argument("--negatives", type=int, default=8,
                     help="corrupted negatives per positive "
-                         "(transe/distmult)")
+                         "(pair objectives)")
     ap.add_argument("--margin", type=float, default=2.0)
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--epochs", type=int, default=100)
@@ -188,12 +188,12 @@ def kg_train_main(argv=None):
     ap.add_argument("--eval-holdout", type=float, default=0.0,
                     help=">0 holds out this fraction of triples and prints "
                          "filtered tail-ranking MRR/Hits@10 after training "
-                         "(transe/distmult objectives only)")
+                         "(pair objectives only)")
     ap.add_argument("--update-mode", default="dense",
                     choices=["dense", "sparse"],
                     help="sparse = touched-rows lazy Adam (optimizer "
                          "traffic scales with the batch, not the entity "
-                         "vocabulary; transe/distmult only)")
+                         "vocabulary; pair objectives only)")
     args = ap.parse_args(argv)
 
     from torch_random_walk_tpu.graph.triples import TriplesGraph
@@ -218,8 +218,8 @@ def kg_train_main(argv=None):
     if args.eval_holdout > 0:
         if args.objective not in ("transe", "distmult", "rotate"):
             ap.error("--eval-holdout needs a triple-scoring objective "
-                     "(transe or distmult); the co-occurrence objectives "
-                     "have no tail-ranking score")
+                     "(transe, distmult or rotate); the co-occurrence "
+                     "objectives have no tail-ranking score")
         rng = np.random.default_rng(args.seed)
         perm = rng.permutation(triples.shape[0])
         k = int(args.eval_holdout * triples.shape[0])

@@ -77,7 +77,8 @@ class KGEModel:
     """Functional KG-embedding model; holds only static config.
 
     Parameter pytree depends on the objective:
-    - transe/distmult: {"ent": (N_e, D), "rel": (N_r, D)}
+    - transe/distmult/rotate: {"ent": (N_e, D), "rel": (N_r, D)}
+      (rotate relations are (N_r, D/2) phases)
     - skipgram/cbow:   in/out pairs of both tables (word2vec-style).
     """
 
@@ -393,7 +394,7 @@ class KGEmbeddingConfig:
     # "dense" = optax.adam over the full tables each step; "sparse" =
     # touched-rows lazy Adam (KGEModel.pair_train_step_sparse) — optimizer
     # and gradient traffic scale with the batch's unique rows instead of
-    # the entity vocabulary.  transe/distmult objectives only.
+    # the entity vocabulary.  Pair objectives (transe/distmult/rotate) only.
     update_mode: str = "dense"
 
 
@@ -430,7 +431,7 @@ class KGEmbedding:
         if (config.update_mode == "sparse"
                 and config.objective not in _PAIR_OBJECTIVES):
             raise ValueError("update_mode='sparse' requires a pair "
-                             "objective (transe or distmult)")
+                             "objective (transe, distmult or rotate)")
         self.model = KGEModel(
             graph.num_entities, max(graph.num_relations, 1),
             dim=config.dim, objective=config.objective, margin=config.margin,

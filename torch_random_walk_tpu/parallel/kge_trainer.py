@@ -54,6 +54,18 @@ class ShardedKGEmbedding:
         mp_spec = (P(None, config.model_axis)
                    if config.model_axis in mesh.axis_names else P())
         self._mp = NamedSharding(mesh, mp_spec)
+        if config.model_axis in mesh.axis_names:
+            msize = mesh.shape[config.model_axis]
+            feat = (config.dim // 2 if config.objective == "rotate"
+                    else config.dim)
+            if feat % msize:
+                raise ValueError(
+                    f"feature dim {feat} (dim={config.dim}"
+                    + (", rotate relations are dim/2 phases"
+                       if config.objective == "rotate" else "")
+                    + f") must divide the '{config.model_axis}' mesh axis "
+                    f"size {msize} for P(None, '{config.model_axis}') "
+                    "table sharding")
         # Graph tables replicated on every chip (dp strategy; beyond-HBM
         # graphs go through parallel.partition_v2 walks instead).
         if graph.triple_tab is not None:

@@ -758,6 +758,64 @@ _R_TRIPLES = 3
 _LOG_TRIPLES = 4
 
 
+def _range_partition(index, payload, n: int, num_shards: int):
+    """Split a [start, end-inclusive]-indexed, head-sorted ``payload`` into
+    contiguous head-range shards (shared by PartitionedTriples and
+    PartitionedEdgeList).
+
+    Returns (meta (D, S, 2) int32 [local start, cnt], payload_shards
+    (D, E_max, ...) int32, S).  ``index`` is the (N, 2) per-head range
+    table with (-1, -1) sentinels for empty heads.
+    """
+    index = np.asarray(index)
+    payload = np.asarray(payload)
+    s = -(-n // num_shards)
+    starts = index[:, 0]
+    cnts = np.where(starts >= 0, index[:, 1] - starts + 1, 0).astype(np.int64)
+    # Cumulative form so empty heads get a valid (unused) local start.
+    gstart = np.zeros(n, np.int64)
+    np.cumsum(cnts[:-1], out=gstart[1:])
+    metas, slices = [], []
+    for d in range(num_shards):
+        lo, hi = min(d * s, n), min((d + 1) * s, n)
+        base = gstart[lo] if hi > lo else 0
+        pad = s - (hi - lo)
+        metas.append(np.stack([
+            np.concatenate([gstart[lo:hi] - base, np.zeros(pad, np.int64)]),
+            np.concatenate([cnts[lo:hi], np.zeros(pad, np.int64)]),
+        ], axis=1).astype(np.int32))
+        end = gstart[hi - 1] + cnts[hi - 1] if hi > lo else 0
+        slices.append(payload[base:end].astype(np.int32))
+    e_max = max(max((sl.shape[0] for sl in slices), default=0), 1)
+    shards = np.zeros((num_shards, e_max) + payload.shape[1:], np.int32)
+    for d, sl in enumerate(slices):
+        shards[d, : sl.shape[0]] = sl
+    return jnp.asarray(np.stack(metas)), jnp.asarray(shards), s
+
+
+def _routed_info(stats, rec_width: int, what: str, num_walkers: int,
+                 cfg: "RoutedConfig"):
+    """Stats rows -> info dict + the zero-drop/termination completeness
+    check shared by the triples and edge-list routed wrappers."""
+    stats = np.asarray(stats)
+    info = {
+        "log_entries": int(stats[:, 0].sum()),
+        "exchanged_records": int(stats[:, 1].sum()),
+        "phases": int(stats[:, 2].max()),
+        "overflow_dropped": int(stats[:, 3].sum()),
+        "terminated": int(stats[:, 4].sum()),
+        "exchange_bytes": int(stats[:, 1].sum()) * rec_width * 4,
+    }
+    if info["overflow_dropped"] or info["terminated"] != num_walkers:
+        raise RuntimeError(
+            f"routed {what} walk incomplete: {info['overflow_dropped']} "
+            f"records dropped, {info['terminated']}/{num_walkers} walkers "
+            f"terminated after {info['phases']} phases — raise RoutedConfig "
+            f"capacities (pair_capacity={cfg.pair_capacity}, "
+            f"carry={cfg.carry}, max_phases={cfg.max_phases})")
+    return info
+
+
 @dataclasses.dataclass(frozen=True)
 class PartitionedTriples:
     """TriplesGraph split into contiguous head-entity-range partitions.
@@ -778,36 +836,13 @@ class PartitionedTriples:
 
     @classmethod
     def from_triples(cls, graph, num_shards: int) -> "PartitionedTriples":
-        t = np.asarray(graph.triples)
-        index = np.asarray(graph.relation_tail_index)
         n = graph.num_entities
-        s = -(-n // num_shards)
-        starts = index[:, 0].copy()
-        ends = index[:, 1].copy()
-        cnts = np.where(starts >= 0, ends - starts + 1, 0).astype(np.int64)
-        # Cumulative form so empty heads get a valid (unused) local start.
-        gstart = np.zeros(n, np.int64)
-        np.cumsum(cnts[:-1], out=gstart[1:])
-        metas, slices = [], []
-        for d in range(num_shards):
-            lo, hi = min(d * s, n), min((d + 1) * s, n)
-            base = gstart[lo] if hi > lo else 0
-            local_start = gstart[lo:hi] - base
-            cnt = cnts[lo:hi]
-            pad = s - (hi - lo)
-            metas.append(np.stack([
-                np.concatenate([local_start, np.zeros(pad, np.int64)]),
-                np.concatenate([cnt, np.zeros(pad, np.int64)]),
-            ], axis=1).astype(np.int32))
-            end = gstart[hi - 1] + cnts[hi - 1] if hi > lo else 0
-            slices.append(t[base:end, 1:3].astype(np.int32))
-        e_max = max(max((sl.shape[0] for sl in slices), default=0), 1)
-        rt = np.zeros((num_shards, e_max, 2), np.int32)
-        for d, sl in enumerate(slices):
-            rt[d, : sl.shape[0]] = sl
+        meta, rt, s = _range_partition(graph.relation_tail_index,
+                                       np.asarray(graph.triples)[:, 1:3],
+                                       n, num_shards)
         return cls(
-            node_meta_shards=jnp.asarray(np.stack(metas)),
-            rel_tail_shards=jnp.asarray(rt),
+            node_meta_shards=meta,
+            rel_tail_shards=rt,
             num_entities=n,
             num_shards=num_shards,
             shard_entities=s,
@@ -946,11 +981,12 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
     )
 
 
-@partial(jax.jit, static_argnames=("num_walkers", "walk_length",
-                                   "padding_idx"))
+@partial(jax.jit, static_argnames=("num_walkers", "walk_length"))
 def _assemble_triples(logs, targets, num_walkers, walk_length, padding_idx):
     """Scatter (D, log_cap, 4) transition logs into the (B, 2L+1) walk
-    tensor pre-filled with padding (absorbed steps are never logged)."""
+    tensor pre-filled with padding (absorbed steps are never logged).
+    ``padding_idx`` is a traced fill value — only the shape params are
+    static."""
     flat = logs.reshape(-1, _LOG_TRIPLES)
     wid = flat[:, 0]
     ok = wid != _SENTINEL
@@ -983,6 +1019,13 @@ def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
         raise ValueError(
             f"num_walkers ({num_walkers}) must be divisible by the shard "
             f"count ({nshards}); pad the target batch.")
+    if walk_length == 0:
+        # Matches the single-device shape contract: the (B, 1) target
+        # column (no transitions, nothing routed).
+        walks = jnp.asarray(target_nodes, jnp.int32)[:, None]
+        return walks, {"log_entries": 0, "exchanged_records": 0,
+                       "phases": 0, "overflow_dropped": 0,
+                       "terminated": num_walkers, "exchange_bytes": 0}
     cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
     meta_sh, rt_sh = pgraph.device_put(mesh, axis)
     targets = jax.device_put(
@@ -998,23 +1041,8 @@ def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
     logs, stats = fn(key, meta_sh, rt_sh, targets)
     walks = _assemble_triples(logs, jnp.asarray(target_nodes, jnp.int32),
                               num_walkers, walk_length, int(padding_idx))
-    stats = np.asarray(stats)
-    info = {
-        "log_entries": int(stats[:, 0].sum()),
-        "exchanged_records": int(stats[:, 1].sum()),
-        "phases": int(stats[:, 2].max()),
-        "overflow_dropped": int(stats[:, 3].sum()),
-        "terminated": int(stats[:, 4].sum()),
-        "exchange_bytes": int(stats[:, 1].sum()) * _R_TRIPLES * 4,
-    }
-    if info["overflow_dropped"] or info["terminated"] != num_walkers:
-        raise RuntimeError(
-            f"routed triples walk incomplete: {info['overflow_dropped']} "
-            f"records dropped, {info['terminated']}/{num_walkers} walkers "
-            f"terminated after {info['phases']} phases — raise RoutedConfig "
-            f"capacities (pair_capacity={cfg.pair_capacity}, "
-            f"carry={cfg.carry}, max_phases={cfg.max_phases})")
-    return walks, info
+    return walks, _routed_info(stats, _R_TRIPLES, "triples", num_walkers,
+                               cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -1047,35 +1075,13 @@ class PartitionedEdgeList:
 
     @classmethod
     def from_edge_list(cls, graph, num_shards: int) -> "PartitionedEdgeList":
-        el = np.asarray(graph.edge_list)
-        index = np.asarray(graph.node_edge_index)
         n = graph.num_nodes
-        s = -(-n // num_shards)
-        starts = index[:, 0]
-        cnts = np.where(starts >= 0, index[:, 1] - starts + 1, 0).astype(
-            np.int64)
-        gstart = np.zeros(n, np.int64)
-        np.cumsum(cnts[:-1], out=gstart[1:])
-        metas, slices = [], []
-        for d in range(num_shards):
-            lo, hi = min(d * s, n), min((d + 1) * s, n)
-            base = gstart[lo] if hi > lo else 0
-            local_start = gstart[lo:hi] - base
-            cnt = cnts[lo:hi]
-            pad = s - (hi - lo)
-            metas.append(np.stack([
-                np.concatenate([local_start, np.zeros(pad, np.int64)]),
-                np.concatenate([cnt, np.zeros(pad, np.int64)]),
-            ], axis=1).astype(np.int32))
-            end = gstart[hi - 1] + cnts[hi - 1] if hi > lo else 0
-            slices.append(el[base:end, 1].astype(np.int32))
-        e_max = max(max((sl.shape[0] for sl in slices), default=0), 1)
-        tails = np.zeros((num_shards, e_max), np.int32)
-        for d, sl in enumerate(slices):
-            tails[d, : sl.shape[0]] = sl
+        meta, tails, s = _range_partition(graph.node_edge_index,
+                                          np.asarray(graph.edge_list)[:, 1],
+                                          n, num_shards)
         return cls(
-            node_meta_shards=jnp.asarray(np.stack(metas)),
-            tail_shards=jnp.asarray(tails),
+            node_meta_shards=meta,
+            tail_shards=tails,
             num_nodes=n,
             num_shards=num_shards,
             shard_nodes=s,
@@ -1227,8 +1233,7 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
     )
 
 
-@partial(jax.jit, static_argnames=("num_walkers", "walk_length",
-                                   "padding_idx"))
+@partial(jax.jit, static_argnames=("num_walkers", "walk_length"))
 def _assemble_edge_list(logs, targets, num_walkers, walk_length,
                         padding_idx):
     """Scatter (D, log_cap, 3) position logs into a pad-pre-filled
@@ -1264,6 +1269,11 @@ def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
         raise ValueError(
             f"num_walkers ({num_walkers}) must be divisible by the shard "
             f"count ({nshards}); pad the target batch.")
+    if walk_length == 0:
+        walks = jnp.asarray(target_nodes, jnp.int32)[:, None]
+        return walks, {"log_entries": 0, "exchanged_records": 0,
+                       "phases": 0, "overflow_dropped": 0,
+                       "terminated": num_walkers, "exchange_bytes": 0}
     cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
     meta_sh, tails_sh = pgraph.device_put(mesh, axis)
     targets = jax.device_put(
@@ -1279,20 +1289,5 @@ def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
     logs, stats = fn(key, meta_sh, tails_sh, targets)
     walks = _assemble_edge_list(logs, jnp.asarray(target_nodes, jnp.int32),
                                 num_walkers, walk_length, int(padding_idx))
-    stats = np.asarray(stats)
-    info = {
-        "log_entries": int(stats[:, 0].sum()),
-        "exchanged_records": int(stats[:, 1].sum()),
-        "phases": int(stats[:, 2].max()),
-        "overflow_dropped": int(stats[:, 3].sum()),
-        "terminated": int(stats[:, 4].sum()),
-        "exchange_bytes": int(stats[:, 1].sum()) * _R_EDGE * 4,
-    }
-    if info["overflow_dropped"] or info["terminated"] != num_walkers:
-        raise RuntimeError(
-            f"routed edge-list walk incomplete: {info['overflow_dropped']} "
-            f"records dropped, {info['terminated']}/{num_walkers} walkers "
-            f"terminated after {info['phases']} phases — raise RoutedConfig "
-            f"capacities (pair_capacity={cfg.pair_capacity}, "
-            f"carry={cfg.carry}, max_phases={cfg.max_phases})")
-    return walks, info
+    return walks, _routed_info(stats, _R_EDGE, "edge-list", num_walkers,
+                               cfg)
