@@ -59,6 +59,32 @@ def time_fn(fn, *args, warmup=2, iters=5):
     return StepTimer().time(fn, *args, warmup=warmup, iters=iters)
 
 
+def time_train_chained(step, params, opt_state, targets, warmup=1, iters=3):
+    """Time a (params, opt, targets) -> (params, opt, loss) step the way a
+    real training loop runs it: outputs rebound to inputs each call, with
+    params/opt_state DONATED (``step`` must accept donate=True and route it
+    to a donating jit — Node2Vec.epoch_step does).  Donation matters for
+    the measurement itself at bench scale — fp32 Adam moments for a
+    2M x 128 bf16 table pair are ~4 GB, and a non-donating functional
+    update holds old+new copies of every table, which is exactly what
+    OOMed the sparse-step timing on the 16 GB v5e (2026-08-19).  Donation
+    cannot live on an OUTER jit here: that would close over the graph
+    tables and bake them into the HLO as constants (the 2M-node edge_tab
+    alone exceeds the axon remote-compile request limit)."""
+    import time as _time
+
+    from torch_random_walk_tpu.utils.profiling import sync
+
+    for _ in range(warmup):
+        params, opt_state, loss = step(params, opt_state, targets)
+        sync(loss)
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, targets)
+    sync(loss)
+    return (_time.perf_counter() - t0) / iters
+
+
 def run_scaling(args):
     """Multi-device scaling mode: the owner-routed partitioned engines
     (parallel/partition_v2.py) timed at 1, 2, 4, ... D devices on the same
@@ -357,11 +383,11 @@ def main():
     params, opt_state = n2v.init()
 
     def train_fn(p, o, t):
-        return n2v.epoch_step(p, o, t, jnp.uint32(1))
+        return n2v.epoch_step(p, o, t, jnp.uint32(1), donate=True)
 
     train_targets = targets[: min(num_walkers, 65_536 if on_tpu else 4_096)]
-    dt_train = time_fn(train_fn, params, opt_state, train_targets,
-                       iters=max(2, args.iters // 2))
+    dt_train = time_train_chained(train_fn, params, opt_state, train_targets,
+                                  iters=max(2, args.iters // 2))
     train_sps = train_targets.shape[0] * 16 / dt_train
 
     # Touched-rows (lazy) Adam variant: optimizer/gradient traffic scales
@@ -374,10 +400,11 @@ def main():
     params_s, opt_s = n2v_s.init()
 
     def train_sparse_fn(p, o, t):
-        return n2v_s.epoch_step(p, o, t, jnp.uint32(1))
+        return n2v_s.epoch_step(p, o, t, jnp.uint32(1), donate=True)
 
-    dt_train_s = time_fn(train_sparse_fn, params_s, opt_s, train_targets,
-                         iters=max(2, args.iters // 2))
+    dt_train_s = time_train_chained(train_sparse_fn, params_s, opt_s,
+                                    train_targets,
+                                    iters=max(2, args.iters // 2))
     train_sparse_sps = train_targets.shape[0] * 16 / dt_train_s
     del params_s, opt_s
 

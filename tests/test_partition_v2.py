@@ -387,6 +387,104 @@ class TestRoutedEdgeList:
         assert info["log_entries"] < 48 * 10
 
 
+class TestRoutedEdgeListBiased:
+    """Owner-routed BIASED (p/q) edge-list walks: the
+    ops/edge_list_walk.py::biased_walk_edge_list law (padding/restart,
+    pad-candidate prob_0 branch, fused pad->jump accepts) distributed with
+    Bloom-in-record local decisions + exact resolution at owner(t)."""
+
+    def _setup(self, mesh, n=900, avg_deg=4, seed=5, dead_frac=0.3):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedEdgeList,
+            build_edge_list_partition_blooms,
+            build_edge_list_partition_hashes,
+        )
+
+        rng = np.random.default_rng(seed)
+        e = n * avg_deg
+        src = rng.integers(0, max(int(n * (1 - dead_frac)), 1), e)
+        dst = rng.integers(0, n, e)
+        g = trw.EdgeListGraph.from_arrays(
+            np.stack([src, dst], axis=1), num_nodes=n)
+        pg = PartitionedEdgeList.from_edge_list(g, mesh.devices.size)
+        return (g, pg, build_edge_list_partition_hashes(pg, g),
+                build_edge_list_partition_blooms(pg, g))
+
+    @pytest.mark.parametrize("restart", [True, False])
+    @pytest.mark.parametrize("pq", [(0.5, 2.0), (4.0, 0.25)])
+    def test_bit_identical_to_single_device(self, mesh, restart, pq):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            walk_edge_list_node2vec_partitioned_routed,
+        )
+
+        p, q = pq
+        g, pg, hashes, blooms = self._setup(mesh)
+        pad = g.num_nodes
+        targets = jnp.arange(128, dtype=jnp.int32) % g.num_nodes
+        routed, info = walk_edge_list_node2vec_partitioned_routed(
+            pg, hashes, targets, mesh, p, q, 9, pad, restart=restart,
+            seed=23, blooms=blooms)
+        assert info["overflow_dropped"] == 0
+        assert info["terminated"] == 128
+        single = trw.walk_edge_list(g, target_nodes=targets, p=p, q=q,
+                                    walk_length=9, seed=23, padding_idx=pad,
+                                    restart=restart)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+
+    def test_no_blooms_identical(self, mesh):
+        """Omitting blooms (saturated filters: every in-band draw resolves
+        remotely) must not change the walks, only the traffic."""
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            walk_edge_list_node2vec_partitioned_routed,
+        )
+
+        g, pg, hashes, blooms = self._setup(mesh, n=300, seed=9)
+        pad = g.num_nodes
+        targets = jnp.arange(64, dtype=jnp.int32) % g.num_nodes
+        with_b, info_b = walk_edge_list_node2vec_partitioned_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, 7, pad, seed=3,
+            blooms=blooms)
+        without, info_n = walk_edge_list_node2vec_partitioned_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, 7, pad, seed=3)
+        np.testing.assert_array_equal(np.asarray(with_b), np.asarray(without))
+        single = trw.walk_edge_list(g, target_nodes=targets, p=0.5, q=2.0,
+                                    walk_length=7, seed=3, padding_idx=pad,
+                                    restart=True)
+        np.testing.assert_array_equal(np.asarray(with_b), np.asarray(single))
+        assert info_n["exchanged_records"] >= info_b["exchanged_records"]
+
+    def test_absorbing_terminates_early(self, mesh):
+        """Every walk dead-ends immediately: absorbed walkers stop shipping
+        records and the pad tail is pre-filled at assembly."""
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedEdgeList,
+            build_edge_list_partition_blooms,
+            build_edge_list_partition_hashes,
+            walk_edge_list_node2vec_partitioned_routed,
+        )
+
+        n = 48
+        el = np.stack([np.arange(16), 16 + np.arange(16)], axis=1)
+        g = trw.EdgeListGraph.from_arrays(el, num_nodes=n)
+        pg = PartitionedEdgeList.from_edge_list(g, mesh.devices.size)
+        hashes = build_edge_list_partition_hashes(pg, g)
+        blooms = build_edge_list_partition_blooms(pg, g)
+        targets = jnp.arange(48, dtype=jnp.int32) % 16
+        routed, info = walk_edge_list_node2vec_partitioned_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, 10, n, restart=False,
+            seed=31, blooms=blooms)
+        single = trw.walk_edge_list(g, target_nodes=targets, p=0.5, q=2.0,
+                                    walk_length=10, seed=31, padding_idx=n,
+                                    restart=False)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+        assert info["terminated"] == 48
+        assert info["log_entries"] < 48 * 10
+
+
 def test_routed_walk_length_zero(mesh):
     """L=0 returns the target-only column for every routed family (review
     finding: the completeness check spuriously fired with no transitions)."""

@@ -100,14 +100,15 @@ class Node2Vec:
     # Jitted steps take the graph tables as ARGUMENTS — closed-over arrays
     # would bake into the compiled program as constants.
 
-    # NOTE: params/opt_state are deliberately NOT donated here — bench.py
-    # and ad-hoc callers invoke the step repeatedly with the same buffers
-    # (donation would invalidate them after the first call).  The sharded
-    # trainer (parallel/trainer.py), whose train_step is always used in a
-    # rebind loop, does donate.
-    @partial(jax.jit, static_argnums=0)
-    def _fat_step(self, params, opt_state, targets, epoch, edge_tab,
-                  node_tab, hash_table, fat6=None, neg_tabs=None):
+    # NOTE: params/opt_state are deliberately NOT donated here — ad-hoc
+    # callers may invoke the step repeatedly with the same buffers
+    # (donation would invalidate them after the first call).  Rebind-loop
+    # callers that need the halved peak memory wrap it in a donating jit
+    # (bench.py::time_train_chained — required at the 2M-node bench shape
+    # on a 16 GB chip); the sharded trainer (parallel/trainer.py), whose
+    # train_step is always used in a rebind loop, donates directly.
+    def _fat_step_impl(self, params, opt_state, targets, epoch, edge_tab,
+                       node_tab, hash_table, fat6=None, neg_tabs=None):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         from torch_random_walk_tpu.ops import fatwalk
@@ -125,6 +126,15 @@ class Node2Vec:
                                               cfg.walk_length, seed,
                                               fat6=fat6)
         return self._train(params, opt_state, walks, seed, neg_tabs)
+
+    # Donated twins: same traced function, params/opt_state buffers donated.
+    # Donation must live on THIS jit boundary — an outer donating jit around
+    # epoch_step would close over the graph tables and bake them into the
+    # HLO as constants (the 2M-node edge_tab alone exceeds the axon
+    # remote-compile request limit, observed 2026-08-19).
+    _fat_step = partial(jax.jit, static_argnums=0)(_fat_step_impl)
+    _fat_step_donated = partial(jax.jit, static_argnums=0,
+                                donate_argnums=(1, 2))(_fat_step_impl)
 
     def _train(self, params, opt_state, walks, seed, neg_tabs=None):
         cfg = self.config
@@ -152,9 +162,8 @@ class Node2Vec:
         return shared_negative_ids(seed, self.config.shared_negatives,
                                    self.graph.num_nodes)
 
-    @partial(jax.jit, static_argnums=0)
-    def _jnp_step(self, params, opt_state, targets, epoch, row_ptr, col_idx,
-                  neg_tabs=None):
+    def _jnp_step_impl(self, params, opt_state, targets, epoch, row_ptr,
+                       col_idx, neg_tabs=None):
         cfg = self.config
         seed = jnp.uint32(cfg.seed) + jnp.uint32(epoch) * jnp.uint32(0x9E3779B1)
         if cfg.p == 1.0 and cfg.q == 1.0:
@@ -166,12 +175,20 @@ class Node2Vec:
                                       search_iters=self.graph.search_iters)
         return self._train(params, opt_state, walks, seed, neg_tabs)
 
-    def epoch_step(self, params, opt_state, targets, epoch):
+    _jnp_step = partial(jax.jit, static_argnums=0)(_jnp_step_impl)
+    _jnp_step_donated = partial(jax.jit, static_argnums=0,
+                                donate_argnums=(1, 2))(_jnp_step_impl)
+
+    def epoch_step(self, params, opt_state, targets, epoch, donate=False):
         """One fused sample+train step over a batch of start nodes.
 
         ``epoch`` perturbs the walk seed so every epoch samples fresh walks;
         determinism is retained: the whole run is a pure function of
         (config.seed, epoch, targets).
+
+        ``donate=True`` donates the params/opt_state buffers (halves peak
+        HBM across the update — required for 2M-row fp32 Adam moments on a
+        16 GB chip); the caller must rebind them to the returned values.
         """
         g = self.graph
         cfg = self.config
@@ -188,11 +205,12 @@ class Node2Vec:
                 # rule as ops.walk.walk — sampler choice must not depend on
                 # batch size).
                 bt = fat6_for(g)
-            return self._fat_step(params, opt_state, targets, epoch,
-                                  g.edge_tab, g.node_tab, ht, bt,
-                                  self._neg_tabs)
-        return self._jnp_step(params, opt_state, targets, epoch, g.row_ptr,
-                              g.col_idx, self._neg_tabs)
+            step = self._fat_step_donated if donate else self._fat_step
+            return step(params, opt_state, targets, epoch,
+                        g.edge_tab, g.node_tab, ht, bt, self._neg_tabs)
+        step = self._jnp_step_donated if donate else self._jnp_step
+        return step(params, opt_state, targets, epoch, g.row_ptr,
+                    g.col_idx, self._neg_tabs)
 
     def train(self, num_epochs: int, batch_nodes=None, log_every: int = 0):
         """Simple training loop; returns (params, losses)."""

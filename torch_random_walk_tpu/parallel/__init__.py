@@ -16,6 +16,9 @@ from torch_random_walk_tpu.parallel.partition_v2 import (
     RoutedConfig,
     walk_partitioned_routed,
     walk_partitioned_node2vec_routed,
+    build_edge_list_partition_blooms,
+    build_edge_list_partition_hashes,
+    walk_edge_list_node2vec_partitioned_routed,
     walk_edge_list_partitioned_routed,
     walk_triples_partitioned_routed,
 )
@@ -41,6 +44,9 @@ __all__ = [
     "PartitionedEdgeList",
     "PartitionedTriples",
     "RoutedConfig",
+    "build_edge_list_partition_blooms",
+    "build_edge_list_partition_hashes",
+    "walk_edge_list_node2vec_partitioned_routed",
     "walk_edge_list_partitioned_routed",
     "walk_partitioned_routed",
     "walk_partitioned_node2vec_routed",

@@ -109,6 +109,25 @@ class RoutedConfig:
                    carry_capacity=max(num_walkers - pair, pair))
 
 
+def _biased_phase_budget(cfg: "RoutedConfig", walk_length: int,
+                         spec_rounds: int) -> "RoutedConfig":
+    """Raise a default config's while_loop bound for BIASED engines.
+
+    Rejection tails are geometric: at extreme p/q (e.g. p=4, q=0.25 the
+    spike-acceptance prob_0 is 1/16) one walker can legitimately consume
+    hundreds of rounds on a step, and each replay phase only advances
+    spec_rounds of them.  Budget the same round ceiling as the single-chip
+    engines (common.DEFAULT_MAX_ROUNDS); the loop exits on inflight == 0,
+    so a generous bound costs nothing at runtime."""
+    from torch_random_walk_tpu.ops import common
+
+    need = walk_length * (
+        common.DEFAULT_MAX_ROUNDS // max(spec_rounds, 1) + 2)
+    if cfg.max_phases >= need:
+        return cfg
+    return dataclasses.replace(cfg, max_phases=need)
+
+
 def _compact_idx(mask, capacity: int):
     """First `capacity` indices where mask is True; padded with len(mask)."""
     num = mask.shape[0]
@@ -425,6 +444,8 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
             f"num_walkers ({num_walkers}) must be divisible by the shard "
             f"count ({nshards}); pad the target batch.")
     cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    if config is None:
+        cfg = _biased_phase_budget(cfg, walk_length, spec_rounds)
     hash_tables, hash_salts, hash_log = hashes
 
     if blooms is None:
@@ -1291,3 +1312,433 @@ def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
                                 num_walkers, walk_length, int(padding_idx))
     return walks, _routed_info(stats, _R_EDGE, "edge-list", num_walkers,
                                cfg)
+
+
+# --- biased (p/q) edge-list walks, owner-routed -----------------------------
+
+# Record (uint32 words): wid, step|flags<<24, t, v, rnd, a_val, f1c, f1rnd,
+# f2c, f2rnd, target, bloom[4].  One word wider than _R_N2V: the restart
+# jump target must ride with the walker (the CSR family has no jumps).
+_R_EL_N2V = 15
+
+
+def _edge_list_head_sorted(graph):
+    """(heads, tails, cnts) of the head-sorted edge list (the order
+    EdgeListGraph.from_arrays stores and _range_partition slices by)."""
+    index = np.asarray(graph.node_edge_index)
+    tails = np.asarray(graph.edge_list)[:, 1]
+    n = graph.num_nodes
+    starts = index[:, 0]
+    cnts = np.where(starts >= 0, index[:, 1] - starts + 1, 0).astype(np.int64)
+    heads = np.repeat(np.arange(n, dtype=np.int64), cnts)
+    return heads, tails, cnts
+
+
+def build_edge_list_partition_hashes(pgraph: PartitionedEdgeList, graph):
+    """Per-shard cuckoo edge sets for partitioned biased edge-list walks:
+    shard d holds the edges whose HEAD is in shard d's node range, so the
+    distance-1 test ``is_neighbor_edge(cand, t)`` resolves at owner(t).
+    Returns (tables (D, S_h, 2) uint32, salts (D,) uint32, log_size) —
+    the same contract as parallel.partition.build_partition_hashes."""
+    from torch_random_walk_tpu.graph.hashset import EdgeHashSet
+
+    heads, tails, cnts = _edge_list_head_sorted(graph)
+    n = graph.num_nodes
+    s = pgraph.shard_nodes
+    gstart = np.zeros(n + 1, np.int64)
+    np.cumsum(cnts, out=gstart[1:])
+    per_shard, max_log = [], 4
+    for d in range(pgraph.num_shards):
+        lo, hi = min(d * s, n), min((d + 1) * s, n)
+        sl = slice(gstart[lo], gstart[hi]) if hi > lo else slice(0, 0)
+        e = max(gstart[hi] - gstart[lo] if hi > lo else 0, 1)
+        max_log = max(max_log, int(np.ceil(np.log2(max(4 * e, 16)))))
+        per_shard.append((heads[sl], tails[sl]))
+    tables, salts = [], []
+    for h, tl in per_shard:
+        if h.size == 0:
+            tables.append(np.full(((1 << max_log), 2), 0xFFFFFFFF, np.uint32))
+            salts.append(0)
+            continue
+        es = EdgeHashSet.from_edges_with_log_size(h, tl, max_log)
+        tables.append(np.asarray(es.table))
+        salts.append(es.salt)
+    return (jnp.asarray(np.stack(tables)),
+            jnp.asarray(np.asarray(salts, np.uint32)), max_log)
+
+
+def build_edge_list_partition_blooms(pgraph: PartitionedEdgeList,
+                                     graph) -> jnp.ndarray:
+    """(D, S, 4) uint32 per-node out-neighbor Blooms, node-range sharded."""
+    _, tails, cnts = _edge_list_head_sorted(graph)
+    row_ptr = np.zeros(graph.num_nodes + 1, np.int64)
+    np.cumsum(cnts, out=row_ptr[1:])
+    flat = build_node_blooms(row_ptr, tails)
+    s = pgraph.shard_nodes
+    padded = np.zeros((pgraph.num_shards * s, _BLOOM_WORDS), np.uint32)
+    padded[: flat.shape[0]] = flat
+    return jnp.asarray(padded.reshape(pgraph.num_shards, s, _BLOOM_WORDS))
+
+
+@functools.lru_cache(maxsize=64)
+def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
+                              shard_nodes: int, num_walkers: int,
+                              walk_length: int, p: float, q: float,
+                              padding_idx: int, restart: bool,
+                              spec_rounds: int, hash_log: int, cap: int,
+                              ccap: int, log_cap: int, max_phases: int,
+                              exchange: str, exchange_interpret: bool):
+    """Owner-routed biased edge-list walks: the _routed_n2v_jit phase
+    machine with the edge-list transition law
+    (ops/edge_list_walk.py::biased_walk_edge_list, re-creating
+    /root/reference/csrc/cpu/rw_cpu_edge_list.cpp:128-238):
+
+    - candidates come from the per-head [start, cnt] range over the local
+      tail slice; a dead-end draw yields ``padding_idx``, and a walker AT
+      padding draws the jump node (target if ``restart`` else padding);
+    - candidate == t or == padding resolves LOCALLY at prob_0 (no
+      distance-1 test); an accepted padding candidate's logged value is
+      the jump node (the law fuses the pad->jump move into the accept);
+    - other candidates classify against the in-record Bloom of N(t);
+      in-band Bloom-positive draws freeze and resolve exactly at owner(t)
+      via the per-shard edge cuckoo set;
+    - with restart=False an accepted ``padding`` value absorbs the walk:
+      the position is logged locally and the walker TERMINATES (pad slots
+      are pre-filled at assembly), like the routed triples engine.
+
+    Draws consume the identical (seed, STREAM_EDGE_BIASED, wid, step,
+    round) threefry counters as the single-device engines, and rounds
+    resolve in round order with identical acceptance — walks are
+    bit-identical to ops.walk.walk_edge_list (tests/test_partition_v2.py).
+    """
+    from torch_random_walk_tpu.graph.hashset import _hash_jnp_traced
+    from torch_random_walk_tpu.ops import common
+
+    prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
+    lo_acc = min(prob_1, prob_2)
+    hi_acc = max(prob_1, prob_2)
+    sentinel = _SENTINEL
+
+    def shard_fn(key, meta, tails, ht, salt, bloom, tgt_local):
+        meta = meta[0]          # (S, 2) [local start, cnt]
+        tails = tails[0]        # (E_max,) local tail slice
+        ht = ht[0]
+        salt = salt[0]
+        bloom = bloom[0]        # (S, 4) per-node N(t) Bloom filters
+        my = lax.axis_index(axis)
+        e_max = tails.shape[0]
+        blk = num_walkers // nshards
+        pad = jnp.int32(padding_idx)
+
+        def owner(nodes):
+            return jnp.clip(nodes // shard_nodes, 0, nshards - 1)
+
+        def pack(wid, step, flags, t, v, rnd, a, f1, f1r, f2, f2r, tgt, tb):
+            return jnp.concatenate([jnp.stack([
+                wid, step | (flags.astype(jnp.uint32) << jnp.uint32(24)),
+                t.astype(jnp.uint32), v.astype(jnp.uint32),
+                rnd.astype(jnp.uint32), a.astype(jnp.uint32),
+                f1.astype(jnp.uint32), f1r.astype(jnp.uint32),
+                f2.astype(jnp.uint32), f2r.astype(jnp.uint32),
+                tgt.astype(jnp.uint32)], axis=1),
+                tb.astype(jnp.uint32)], axis=1)
+
+        def local_contains(t, cand):
+            lo32 = cand.astype(jnp.uint32)
+            hi32 = t.astype(jnp.uint32)
+            hit = jnp.zeros(t.shape, bool)
+            for which in range(2):
+                pos = _hash_jnp_traced(lo32, hi32, salt, which, hash_log)
+                row = ht[pos]
+                hit |= (row[:, 0] == lo32) & (row[:, 1] == hi32)
+            return hit
+
+        def accept_r(wid, s, k):
+            c1 = s * jnp.uint32(prng.MAX_ROUNDS_PER_STEP) + k
+            _, b_acc = prng.counter_bits(key, wid, c1)
+            return prng.uniform_from_bits(b_acc)
+
+        wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
+        z = jnp.zeros((blk,), jnp.uint32)
+        zb = jnp.zeros((blk, _BLOOM_WORDS), jnp.uint32)
+        rec0 = pack(wid0, z, z, tgt_local, tgt_local, z, z, z, z, z, z,
+                    tgt_local, zb)
+        outbox, carry, carry_valid, ovf0 = _build_outbox(
+            rec0, owner(tgt_local), jnp.ones((blk,), bool),
+            *_empty_carry(nshards, ccap, _R_EL_N2V), nshards=nshards,
+            cap=cap, ccap=ccap)
+
+        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
+
+        a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
+
+        def phase(state):
+            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
+             phases, overflow, done) = state
+            inbox = a2a(outbox)
+            recs = inbox.reshape(-1, _R_EL_N2V)
+            wid = recs[:, 0]
+            arrived = wid != sentinel
+            step = recs[:, 1] & jnp.uint32(0xFFFFFF)
+            flags = recs[:, 1] >> jnp.uint32(24)
+            mode_resolve = arrived & ((flags & _F_MODE) != 0)
+            mode_step = arrived & ~mode_resolve
+            t = recs[:, 2].astype(jnp.int32)
+            v = recs[:, 3].astype(jnp.int32)
+            rnd0 = recs[:, 4]
+            a_val = recs[:, 5].astype(jnp.int32)
+            f1c = recs[:, 6].astype(jnp.int32)
+            f1r_rnd = recs[:, 7]
+            f2c = recs[:, 8].astype(jnp.int32)
+            f2r_rnd = recs[:, 9]
+            tgt = recs[:, 10]
+            rec_bloom = recs[:, 11:15]
+            has_a = (flags & _F_HAS_A) != 0
+            n_f = flags >> jnp.uint32(3)
+            s = step + 1
+            jump = jnp.where(jnp.bool_(restart), tgt.astype(jnp.int32), pad)
+
+            # Log the arrival position of fresh STEP records (rnd == 0).
+            logging = mode_step & (rnd0 == 0)
+            pos = log_n + jnp.cumsum(logging.astype(jnp.int32)) - 1
+            slot = jnp.where(logging & (pos < log_cap), pos, log_cap)
+            log = log.at[slot].set(
+                jnp.stack([wid, step, recs[:, 3]], axis=1))
+            log_n = log_n + jnp.sum(logging.astype(jnp.int32))
+
+            # ---- STEP arrivals: draw + local classify. ------------------
+            local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
+            rows = meta[local]
+            start, cnt = rows[:, 0], rows[:, 1]
+            v_is_pad = v == pad
+
+            def draw(bits):
+                """sample_edge_neighbor's law on the local slice: at pad ->
+                jump; dead end -> pad; else a uniform out-edge tail."""
+                off = prng.randint_from_bits(bits, jnp.maximum(cnt, 1))
+                idx = jnp.clip(start + off.astype(start.dtype), 0, e_max - 1)
+                nxt = jnp.where(cnt > 0, tails[idx], pad)
+                return jnp.where(v_is_pad, jump, nxt)
+
+            # First hop (s == 1): one uniform draw, no acceptance.
+            c1_first = jnp.uint32(prng.MAX_ROUNDS_PER_STEP)
+            bits_first, _ = prng.counter_bits(
+                key, wid, jnp.full_like(wid, c1_first))
+            first_nxt = draw(bits_first)
+
+            # Rejection scan (s >= 2), spec_phase register semantics.
+            sc_has_a = jnp.zeros(wid.shape, bool)
+            sc_a = v
+            sc_nf = jnp.zeros(wid.shape, jnp.uint32)
+            sc_f1 = v
+            sc_f1r = jnp.zeros_like(rnd0)
+            sc_f2 = v
+            sc_f2r = jnp.zeros_like(rnd0)
+            sc_ovf = jnp.zeros(wid.shape, bool)
+            sc_stop3 = jnp.zeros_like(rnd0)
+            stopped = jnp.zeros(wid.shape, bool)
+            for k in range(spec_rounds):
+                rk = rnd0 + jnp.uint32(k)
+                c1 = s * jnp.uint32(prng.MAX_ROUNDS_PER_STEP) + rk
+                b_cand, b_acc = prng.counter_bits(key, wid, c1)
+                cand = draw(b_cand)
+                r = prng.uniform_from_bits(b_acc)
+                is_t = cand == t
+                is_pad_c = cand == pad
+                local_dec = is_t | is_pad_c
+                maybe = _bloom_maybe(rec_bloom, cand)
+                acc = jnp.where(local_dec, r < prob_0,
+                                jnp.where(maybe, r < lo_acc, r < prob_2))
+                rej = jnp.where(local_dec, r >= prob_0,
+                                jnp.where(maybe, r >= hi_acc, r >= prob_2))
+                # Accepted pad candidate moves to the jump node directly
+                # (rw_cpu_edge_list.cpp:211-217's fused pad branch).
+                value = jnp.where(is_pad_c & ~is_t, jump, cand)
+                frz = ~acc & ~rej
+                scan = ~stopped
+                new_f1 = scan & frz & (sc_nf == 0)
+                new_f2 = scan & frz & (sc_nf == 1)
+                new_f3 = scan & frz & (sc_nf == 2)
+                sc_f1 = jnp.where(new_f1, cand, sc_f1)
+                sc_f1r = jnp.where(new_f1, rk, sc_f1r)
+                sc_f2 = jnp.where(new_f2, cand, sc_f2)
+                sc_f2r = jnp.where(new_f2, rk, sc_f2r)
+                sc_nf = sc_nf + (new_f1 | new_f2 | new_f3).astype(jnp.uint32)
+                sc_ovf = sc_ovf | new_f3
+                sc_stop3 = jnp.where(new_f3, rk, sc_stop3)
+                new_a = scan & acc
+                sc_a = jnp.where(new_a, value, sc_a)
+                sc_has_a = sc_has_a | new_a
+                stopped = stopped | new_a | new_f3
+
+            clean = sc_has_a & (sc_nf == 0)
+            active = mode_step & (step < walk_length)
+            step_next = jnp.where(s == 1, first_nxt, sc_a)
+            step_done = active & ((s == 1) | clean)
+            pending = active & (s >= 2) & (sc_nf >= 1)
+            allrej = active & (s >= 2) & ~sc_has_a & (sc_nf == 0)
+            replay_rnd = jnp.where(sc_ovf, sc_stop3,
+                                   rnd0 + jnp.uint32(spec_rounds))
+
+            # ---- RESOLVE arrivals: answer frozen draws locally. ---------
+            r1 = accept_r(wid, s, f1r_rnd)
+            r2 = accept_r(wid, s, f2r_rnd)
+            acc1 = mode_resolve & jnp.where(local_contains(t, f1c),
+                                            r1 < prob_1, r1 < prob_2)
+            acc2 = (mode_resolve & (n_f >= 2) & ~acc1
+                    & jnp.where(local_contains(t, f2c), r2 < prob_1,
+                                r2 < prob_2))
+            res_ok = acc1 | acc2 | (mode_resolve & has_a)
+            res_next = jnp.where(acc1, f1c, jnp.where(acc2, f2c, a_val))
+            res_fail = mode_resolve & ~res_ok
+
+            # ---- termination bookkeeping --------------------------------
+            adv_next = jnp.where(mode_resolve, res_next, step_next)
+            adv_valid = step_done | res_ok
+            if restart:
+                absorbed = jnp.zeros(wid.shape, bool)
+            else:
+                # Absorbing mode: an accepted pad value ends the walk — log
+                # the position locally and terminate (assembly pre-fills
+                # the remaining pad slots), like the routed triples engine.
+                absorbed = adv_valid & (adv_next == pad)
+            pos2 = log_n + jnp.cumsum(absorbed.astype(jnp.int32)) - 1
+            slot2 = jnp.where(absorbed & (pos2 < log_cap), pos2, log_cap)
+            log = log.at[slot2].set(
+                jnp.stack([wid, s, adv_next.astype(jnp.uint32)], axis=1))
+            log_n = log_n + jnp.sum(absorbed.astype(jnp.int32))
+            term_final = mode_step & (step >= walk_length)
+            done = done + jnp.sum((absorbed | term_final).astype(jnp.int32))
+
+            # ---- departures ---------------------------------------------
+            zf = jnp.zeros_like(wid)
+            forward = adv_valid & ~absorbed
+            # Fresh record's t is the current v; its N(v) Bloom is local
+            # here for STEP lanes (we ARE owner(v)); RESOLVE lanes shipped
+            # it in.  A just-finished walker still travels once more to log
+            # walk[L]; arrivals with step == L forward nothing.
+            v_bloom_local = bloom[local]
+            fresh_tb = jnp.where(mode_resolve[:, None], rec_bloom,
+                                 v_bloom_local)
+            fresh = pack(wid, s, zf, v, adv_next, zf, zf, zf, zf, zf, zf,
+                         tgt, fresh_tb)
+            pend_flags = (jnp.uint32(_F_MODE)
+                          | jnp.where(sc_has_a, jnp.uint32(_F_HAS_A),
+                                      jnp.uint32(0))
+                          | jnp.where(sc_ovf, jnp.uint32(_F_OVF),
+                                      jnp.uint32(0))
+                          | (jnp.minimum(sc_nf, 2) << jnp.uint32(3)))
+            pend = pack(wid, step, pend_flags, t, v, replay_rnd, sc_a,
+                        sc_f1, sc_f1r, sc_f2, sc_f2r, tgt, v_bloom_local)
+            local_t = jnp.clip(t - my * shard_nodes, 0, shard_nodes - 1)
+            rep_tb = jnp.where(mode_resolve[:, None], bloom[local_t],
+                               rec_bloom)
+            rep = pack(wid, step, zf,
+                       t, v, jnp.where(mode_resolve, rnd0, replay_rnd),
+                       zf, zf, zf, zf, zf, tgt, rep_tb)
+            rep_valid = allrej | res_fail
+
+            recs_out = jnp.concatenate([fresh, pend, rep])
+            dest_out = jnp.concatenate([
+                owner(adv_next), owner(t), owner(v)])
+            valid_out = jnp.concatenate([forward, pending, rep_valid])
+
+            outbox, carry, carry_valid, ovf = _build_outbox(
+                recs_out, dest_out, valid_out, carry, carry_valid,
+                nshards=nshards, cap=cap, ccap=ccap)
+            sent = jnp.sum(valid_out.astype(jnp.int32))
+            inflight = lax.psum(
+                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
+                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
+            return (outbox, carry, carry_valid, log, log_n, inflight,
+                    sent_recs + sent, phases + 1, overflow + ovf, done)
+
+        def cond(state):
+            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
+
+        def varying(x):
+            if exchange == "pallas":
+                return x
+            return lax.pcast(x, axis, to="varying")
+
+        init_inflight = lax.psum(
+            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+        state = (outbox, carry, carry_valid, varying(log),
+                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
+                 jnp.int32(0), ovf0, varying(jnp.int32(0)))
+        state = lax.while_loop(cond, phase, state)
+        (_, _, _, log, log_n, _, sent_recs, phases, overflow, done) = state
+        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
+        return log[None, :log_cap], stats[None]
+
+    return jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=(exchange != "pallas"),
+        )
+    )
+
+
+def walk_edge_list_node2vec_partitioned_routed(
+        pgraph: PartitionedEdgeList, hashes, target_nodes, mesh: Mesh,
+        p: float, q: float, walk_length: int, padding_idx: int,
+        restart: bool = True, seed: int = 0, axis: str = "data",
+        config: RoutedConfig | None = None, spec_rounds: int = 6,
+        blooms=None, exchange: str = "xla",
+        exchange_interpret: bool = False):
+    """Biased (p/q) edge-list walks over a head-range-partitioned edge list
+    with owner-routed walker exchange — the beyond-HBM tier of
+    ops.walk.walk_edge_list's biased path.  Returns (walks (B, L+1) int32,
+    stats); bit-identical to the single-device engines.
+
+    ``hashes`` = build_edge_list_partition_hashes(pgraph, graph);
+    ``blooms`` = build_edge_list_partition_blooms(pgraph, graph) (omitting
+    it keeps walks identical but resolves every in-band draw remotely).
+    """
+    num_walkers = int(target_nodes.shape[0])
+    nshards = pgraph.num_shards
+    if num_walkers % nshards:
+        raise ValueError(
+            f"num_walkers ({num_walkers}) must be divisible by the shard "
+            f"count ({nshards}); pad the target batch.")
+    if walk_length == 0:
+        walks = jnp.asarray(target_nodes, jnp.int32)[:, None]
+        return walks, {"log_entries": 0, "exchanged_records": 0,
+                       "phases": 0, "overflow_dropped": 0,
+                       "terminated": num_walkers, "exchange_bytes": 0}
+    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    if config is None:
+        cfg = _biased_phase_budget(cfg, walk_length, spec_rounds)
+    hash_tables, hash_salts, hash_log = hashes
+    if blooms is None:
+        blooms = jnp.full(
+            (nshards, pgraph.shard_nodes, _BLOOM_WORDS), 0xFFFFFFFF,
+            jnp.uint32)
+    meta_sh, tails_sh = pgraph.device_put(mesh, axis)
+    sharding = NamedSharding(mesh, P(axis))
+    ht_sh = jax.device_put(hash_tables, sharding)
+    salts_sh = jax.device_put(hash_salts, sharding)
+    bloom_sh = jax.device_put(blooms, sharding)
+    targets = jax.device_put(jnp.asarray(target_nodes, jnp.int32), sharding)
+    fn = _routed_edge_list_n2v_jit(
+        mesh, axis, nshards, pgraph.shard_nodes, num_walkers, walk_length,
+        float(p), float(q), int(padding_idx), bool(restart),
+        int(spec_rounds), int(hash_log), cfg.pair_capacity, cfg.carry,
+        cfg.log_capacity, cfg.max_phases, exchange, bool(exchange_interpret))
+    key = jax.device_put(
+        jnp.stack(prng.derive_key(int(seed), prng.STREAM_EDGE_BIASED)),
+        NamedSharding(mesh, P()))
+    logs, stats = fn(key, meta_sh, tails_sh, ht_sh, salts_sh, bloom_sh,
+                     targets)
+    walks = _assemble_edge_list(logs, jnp.asarray(target_nodes, jnp.int32),
+                                num_walkers, walk_length, int(padding_idx))
+    info = _routed_info(stats, _R_EL_N2V, "edge-list-node2vec", num_walkers,
+                        cfg)
+    info["collectives_per_step"] = round(
+        info["phases"] / max(walk_length, 1), 2)
+    return walks, info
