@@ -45,6 +45,39 @@ def test_matches_xla_all_to_all(mesh):
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
 
 
+def test_routed_node2vec_through_pallas_exchange(mesh):
+    """The BIASED routed engine (walk_partitioned_node2vec_routed) is
+    bit-identical to the single-device node2vec path when its exchange runs
+    through the Pallas remote-DMA kernel (interpret mode) — the biased
+    engine's record layout (14-word STEP/RESOLVE records) exercises the
+    kernel's wide-chunk path that the uniform test's 3-word records do not.
+    (VERDICT r2 item 8.)"""
+    from torch_random_walk_tpu.ops.node2vec import node2vec_walk_csr
+    from torch_random_walk_tpu.parallel.partition import (
+        build_partition_hashes,
+    )
+    from torch_random_walk_tpu.parallel.partition_v2 import (
+        build_partition_blooms,
+        walk_partitioned_node2vec_routed,
+    )
+
+    rng = np.random.default_rng(11)
+    n, e = 800, 4000
+    g = CSRGraph.from_edges(rng.integers(0, n, e), rng.integers(0, n, e),
+                            num_nodes=n)
+    pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+    hashes = build_partition_hashes(pg, g)
+    blooms = build_partition_blooms(pg, g)
+    targets = jnp.arange(128, dtype=jnp.int32) % n
+    ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, 0.5, 2.0, 8,
+                            seed=3, search_iters=g.search_iters)
+    walks, info = walk_partitioned_node2vec_routed(
+        pg, hashes, targets, mesh, 0.5, 2.0, 8, seed=3, blooms=blooms,
+        exchange="pallas", exchange_interpret=True)
+    assert info["overflow_dropped"] == 0
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+
 def test_routed_walk_through_pallas_exchange(mesh):
     """The full routed uniform engine produces bit-identical walks when its
     exchange runs through the Pallas remote-DMA kernel (interpret mode)."""

@@ -138,7 +138,10 @@ def _compact_idx(mask, capacity: int):
     return buf[:capacity]
 
 
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# np (not jnp): a module-level jnp constant would initialize the XLA
+# backend at import time, breaking the jax.distributed.initialize-first
+# contract on pods (tests/test_multiprocess.py).
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _build_outbox(recs, dests, valid, carry, carry_valid, nshards, cap, ccap):
