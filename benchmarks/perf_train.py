@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--shared-negatives", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--compare-sparse", action="store_true",
+                    help="time the dense vs touched-rows (lazy) Adam fused "
+                    "steps head-to-head at this shape (VERDICT r2 item 2: "
+                    "find the vocab-size crossover) and skip the stage "
+                    "ablation")
     args = ap.parse_args()
 
     import jax
@@ -53,13 +58,59 @@ def main():
     from torch_random_walk_tpu.utils.profiling import StepTimer
 
     graph = synthetic_power_law(args.nodes, args.degree, 0)
+    targets = jnp.arange(args.walkers, dtype=jnp.int32) % graph.num_nodes
+
+    if args.compare_sparse:
+        # Chained, DONATING timing (bench.py's time_train_chained shape):
+        # fp32 Adam moments at huge vocabularies only fit HBM if the old
+        # copies are donated away each call.
+        import time as _time
+
+        from torch_random_walk_tpu.utils.profiling import sync
+
+        def chained(step, params, opt_state, warmup=1, iters=3):
+            for _ in range(warmup):
+                params, opt_state, loss = step(params, opt_state, targets)
+                sync(loss)
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                params, opt_state, loss = step(params, opt_state, targets)
+            sync(loss)
+            del params, opt_state
+            return (_time.perf_counter() - t0) / iters
+
+        out = {}
+        for mode in ("dense", "sparse"):
+            cfg = Node2VecConfig(dim=args.dim, walk_length=args.walk_length,
+                                 window_size=args.window, p=1.0, q=1.0,
+                                 dtype=args.dtype,
+                                 shared_negatives=args.shared_negatives,
+                                 update_mode=mode)
+            n2v = Node2Vec(graph, cfg)
+            params, opt_state = n2v.init()
+
+            def step(p, o, t):
+                return n2v.epoch_step(p, o, t, jnp.uint32(1), donate=True)
+
+            dt = chained(step, params, opt_state,
+                         iters=max(2, args.iters // 2))
+            out[f"{mode}_ms"] = round(dt * 1e3, 1)
+            out[f"{mode}_steps_per_sec_M"] = round(
+                args.walkers * args.walk_length / dt / 1e6, 2)
+            del params, opt_state, n2v
+        out["sparse_over_dense"] = round(out["sparse_ms"] / out["dense_ms"],
+                                         2)
+        out.update(nodes=args.nodes, walkers=args.walkers, dim=args.dim,
+                   dtype=args.dtype, S=args.shared_negatives)
+        print(json.dumps(out))
+        return
+
     cfg = Node2VecConfig(dim=args.dim, walk_length=args.walk_length,
                          window_size=args.window, p=1.0, q=1.0,
                          dtype=args.dtype,
                          shared_negatives=args.shared_negatives)
     n2v = Node2Vec(graph, cfg)
     params, opt_state = n2v.init()
-    targets = jnp.arange(args.walkers, dtype=jnp.int32) % graph.num_nodes
     seed = jnp.uint32(1)
     timer = StepTimer()
     results = {}

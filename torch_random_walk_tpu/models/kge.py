@@ -315,22 +315,33 @@ class KGEModel:
             [pos[..., 1].ravel(), neg[..., 1].ravel()])
         # Static-size sorted dedup padded with the table size (out of
         # bounds): the padded id array doubles as the scatter index and
-        # OOB rows drop.
-        ent_ids = jnp.unique(ent_touched, size=ent_touched.shape[0],
-                             fill_value=ne)
-        rel_ids = jnp.unique(rel_touched, size=rel_touched.shape[0],
-                             fill_value=nr)
+        # OOB rows drop.  Sub-table locations come out of the SAME sort —
+        # searchsorted is ~20 serialized gather passes at these sizes
+        # (models/skipgram.sorted_unique_with_locations).
+        from torch_random_walk_tpu.models.skipgram import (
+            sorted_unique_with_locations,
+        )
 
-        def remap(t):
-            return jnp.stack([jnp.searchsorted(ent_ids, t[..., 0]),
-                              jnp.searchsorted(rel_ids, t[..., 1]),
-                              jnp.searchsorted(ent_ids, t[..., 2])], axis=-1)
+        ent_ids, ent_loc = sorted_unique_with_locations(ent_touched, ne)
+        rel_ids, rel_loc = sorted_unique_with_locations(rel_touched, nr)
+        k1, k2 = pos[..., 0].size, neg[..., 0].size
+
+        def part(loc, lo, size, shape):
+            return loc[lo: lo + size].reshape(shape)
+
+        pos_l = jnp.stack(
+            [part(ent_loc, 0, k1, pos[..., 0].shape),
+             part(rel_loc, 0, k1, pos[..., 1].shape),
+             part(ent_loc, k1, k1, pos[..., 2].shape)], axis=-1)
+        neg_l = jnp.stack(
+            [part(ent_loc, 2 * k1, k2, neg[..., 0].shape),
+             part(rel_loc, k1, k2, neg[..., 1].shape),
+             part(ent_loc, 2 * k1 + k2, k2, neg[..., 2].shape)], axis=-1)
 
         ent_safe = jnp.minimum(ent_ids, ne - 1)
         rel_safe = jnp.minimum(rel_ids, nr - 1)
         subs = {"ent": params["ent"][ent_safe],
                 "rel": params["rel"][rel_safe]}
-        pos_l, neg_l = remap(pos), remap(neg)
 
         def sub_loss(subs):
             return self._pair_loss_tabs(subs["ent"], subs["rel"], pos_l,

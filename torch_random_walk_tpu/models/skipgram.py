@@ -20,6 +20,33 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
+
+
+def sorted_unique_with_locations(x_flat, oob: int):
+    """One sort -> (sorted unique ids OOB-padded at the tail, per-element
+    locations into that unique array).
+
+    Replaces ``jnp.unique(size=k)`` + ``jnp.searchsorted``: searchsorted is
+    ~log2(k) *serialized* scalar-gather rounds over every query (~20 passes
+    at k=1M — it alone cost several hundred ms of the r2 sparse train step
+    on TPU), while the location array here falls out of the same sort that
+    deduplicates, for one extra O(k) scatter.
+
+    Returns (uids (k,) with unused slots == oob, loc (k,) int32) such that
+    ``uids[loc] == x_flat`` and uids' occupied prefix is sorted unique.
+    """
+    k = x_flat.shape[0]
+    x_flat = x_flat.ravel()
+    sx, order = lax.sort((x_flat, jnp.arange(k, dtype=jnp.int32)),
+                         num_keys=1)
+    first = jnp.concatenate([jnp.ones((1,), bool), sx[1:] != sx[:-1]])
+    upos = jnp.cumsum(first.astype(jnp.int32)) - 1
+    loc = jnp.zeros((k,), jnp.int32).at[order].set(upos, unique_indices=True)
+    # Duplicate writes land the same value; indices ascend with the sort.
+    uids = jnp.full((k,), oob, x_flat.dtype).at[upos].set(
+        sx, indices_are_sorted=True)
+    return uids, loc
 
 
 def shared_negative_ids(seed, num: int, num_nodes: int):
@@ -209,14 +236,14 @@ class SkipGramModel:
         centers = walks[:, hw: length1 - hw]
         # Static-size dedup: sorted unique ids padded with n (out of
         # bounds) — the padded array doubles as the scatter index, OOB
-        # rows drop.
-        in_ids = jnp.unique(centers.ravel(), size=centers.size,
-                            fill_value=n)
+        # rows drop.  Locations come from the SAME sort (one pass), not
+        # from searchsorted (see sorted_unique_with_locations).
+        in_ids, in_loc = sorted_unique_with_locations(centers.ravel(), n)
+        in_loc = in_loc.reshape(centers.shape)
         out_flat = jnp.concatenate([walks.ravel(), neg_ids])
-        out_ids = jnp.unique(out_flat, size=out_flat.shape[0], fill_value=n)
-        in_loc = jnp.searchsorted(in_ids, centers)
-        out_loc = jnp.searchsorted(out_ids, walks)
-        neg_loc = jnp.searchsorted(out_ids, neg_ids)
+        out_ids, out_loc_flat = sorted_unique_with_locations(out_flat, n)
+        out_loc = out_loc_flat[: walks.size].reshape(walks.shape)
+        neg_loc = out_loc_flat[walks.size:]
         in_safe = jnp.minimum(in_ids, n - 1)
         out_safe = jnp.minimum(out_ids, n - 1)
         subs = {"in": params["in_emb"][in_safe],

@@ -393,12 +393,15 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         spike = jnp.zeros(cand.shape, bool)
         return rows, cand, spike, dead, acc_n, rej_n
 
-    def one_round(st):
+    def one_round(st, wid_s, ids):
+        """One free-running round over the lanes in ``st``.  ``ids`` is None
+        for the full-batch phases (emission = masked select) or the global
+        lane ids of a compacted subset (emission = sorted scatter)."""
         t_row, v_row, step, rnd, frozen, walks = st
         active = (step < length) & ~frozen
         s = step + 1
         c1 = s.astype(jnp.uint32) * m + rnd
-        rows, cand, spike, dead, acc_n, rej_n = classify(t_row, v_row, wid,
+        rows, cand, spike, dead, acc_n, rej_n = classify(t_row, v_row, wid_s,
                                                          c1)
         is_first = step == 0
         acc = active & (is_first | dead | acc_n)
@@ -410,38 +413,50 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         step = step + acc.astype(step.dtype)
         rnd = jnp.where(acc, 0, rnd + rej.astype(jnp.uint32))
         frozen = frozen | frz
-        # Emit via masked select, not scatter: a full-B dynamic-column
-        # scatter costs ~1.5ms/round on the TPU scatter path, while the
-        # (B, L+2) select is plain VPU + streaming HBM traffic.
-        mask = acc[:, None] & (cols[None, :] == s[:, None])
-        walks = jnp.where(mask, cand[:, None], walks)
+        if ids is None:
+            # Emit via masked select, not scatter: a full-B dynamic-column
+            # scatter costs ~1.5ms/round on the TPU scatter path, while the
+            # (B, L+2) select is plain VPU + streaming HBM traffic.
+            mask = acc[:, None] & (cols[None, :] == s[:, None])
+            walks = jnp.where(mask, cand[:, None], walks)
+        else:
+            # Compacted drain: ids are ascending with an OOB-padded tail
+            # (== dropped), non-accepting lanes write the junk column.
+            walks = walks.at[ids, jnp.where(acc, s, length + 1)].set(
+                cand, indices_are_sorted=True, unique_indices=True)
         return t_row, v_row, step, rnd, frozen, walks
 
-    def exact_pass(st):
+    def exact_pass(st, wid_s, ids, cap):
         """Serve frozen lanes: replay the frozen round through the cuckoo
-        set (compacted — the engine's only compaction)."""
+        set (compacted within the current lane set)."""
         t_row, v_row, step, rnd, frozen, walks = st
-        idx = _compact(frozen, exact_cap)
-        safe = jnp.minimum(idx, num_walkers - 1)
-        act = idx < num_walkers
+        size = t_row.shape[0]
+        idx = _compact(frozen, cap)
+        safe = jnp.minimum(idx, size - 1)
+        act = idx < size
         tr_s = t_row[safe]
         vr_s = v_row[safe]
         s_s = step[safe] + 1
         c1 = s_s.astype(jnp.uint32) * m + rnd[safe]
         rows, cand, _spike, _dead, acc_n, _rej = classify(
-            tr_s, vr_s, wid[safe], c1, nbr=lambda c, t: contains(t, c))
+            tr_s, vr_s, wid_s[safe], c1, nbr=lambda c, t: contains(t, c))
         acc = act & acc_n
         # All writes go through i_act (compacted ascending + OOB-padded
         # tail => sorted unique scatters); non-accepted lanes write their
         # old values back, so every scatter is maximally cheap.
-        oob = num_walkers  # out-of-bounds scatter index == dropped
+        oob = size  # out-of-bounds scatter index == dropped
         i_act = jnp.where(act, idx, oob)
         kw = dict(indices_are_sorted=True, unique_indices=True)
         t_row = t_row.at[i_act].set(jnp.where(acc[:, None], vr_s, tr_s),
                                     **kw)
         v_row = v_row.at[i_act].set(jnp.where(acc[:, None], rows, vr_s),
                                     **kw)
-        walks = walks.at[i_act, jnp.where(acc, s_s, length + 1)].set(
+        # Walk rows are addressed by GLOBAL lane id (identity in the
+        # full-batch phases); ids[safe] stays ascending because compaction
+        # indices are.
+        g_rows = jnp.where(act, idx if ids is None else ids[safe],
+                           num_walkers)
+        walks = walks.at[g_rows, jnp.where(acc, s_s, length + 1)].set(
             cand, **kw)
         step = step.at[i_act].add(acc.astype(step.dtype), **kw)
         rnd = rnd.at[i_act].set(
@@ -450,13 +465,15 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         frozen = frozen.at[i_act].set(False, **kw)
         return t_row, v_row, step, rnd, frozen, walks
 
-    def block(st):
+    def block(st, wid_s=None, ids=None, cap=None):
         # Rounds run under lax.scan (partially unrolled): fully Python-
         # unrolled round chains make XLA compile time explode (~2s/round
         # on CPU) for zero runtime gain.
-        st = lax.scan(lambda s_, _: (one_round(s_), 0), st, None,
+        wid_s = wid if wid_s is None else wid_s
+        cap = exact_cap if cap is None else cap
+        st = lax.scan(lambda s_, _: (one_round(s_, wid_s, ids), 0), st, None,
                       length=rounds_per_block, unroll=round_unroll)[0]
-        return exact_pass(st)
+        return exact_pass(st, wid_s, ids, cap)
 
     state = (row0, row0, jnp.zeros((num_walkers,), jnp.int32),
              jnp.zeros((num_walkers,), jnp.uint32),
@@ -464,18 +481,57 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     state, _ = lax.scan(lambda st, _: (block(st), 0), state,
                         jnp.arange(scan_blocks))
 
-    def not_done(st):
-        step = st[2]
-        return jnp.any(step < length)
+    def active_count(st):
+        return jnp.sum((st[2] < length).astype(jnp.int32))
 
-    def drain(carry):
-        st, n = carry
-        return block(st), n + 1
+    # Straggler drain.  Lane completion rounds concentrate around the mean
+    # (sum of L geometrics: sigma/mu ~ 1/sqrt(L)), so the scan phase covers
+    # the bulk; but the LAST lane of a 128K batch needs ~mu + 4.5 sigma
+    # rounds, and running those tail rounds at full batch wastes ~25% of
+    # all gather work on finished lanes (measured r3).  Phase 1 tops up at
+    # full batch only while more than ``drain_cap`` lanes remain (covers
+    # graphs where real acceptance sits near the worst-case bound the scan
+    # length is derived from); phase 2 compacts the survivors ONCE into a
+    # ``drain_cap``-lane subset and finishes there, with walk emission via
+    # sorted scatters.  Draws stay pure functions of (wid, step, round), so
+    # WHERE a round is evaluated never changes WHAT it evaluates to —
+    # bit-identity with the jnp mixture/rejection oracle is preserved.
+    drain_cap = min(num_walkers,
+                    max(((num_walkers // 4) + 127) // 128 * 128, 256))
 
-    state, _ = lax.while_loop(
-        lambda c: jnp.logical_and(not_done(c[0]), c[1] < drain_blocks),
-        drain, (state, jnp.int32(0)))
-    return state[5][:, : length + 1]
+    def full_drain_cond(c):
+        st, n = c
+        return ((active_count(st) > drain_cap) & (n < drain_blocks))
+
+    state, full_blocks = lax.while_loop(
+        full_drain_cond, lambda c: (block(c[0]), c[1] + 1),
+        (state, jnp.int32(0)))
+
+    t_row, v_row, step, rnd, frozen, walks = state
+    sub_ids = _compact(step < length, drain_cap)
+    safe = jnp.minimum(sub_ids, num_walkers - 1)
+    in_sub = sub_ids < num_walkers
+    # Padding lanes clone lane B-1 (reads are safe; their writes go to the
+    # OOB row / junk column and are dropped).  Cloned-active lanes evolve
+    # identically to the real one (same wid -> same draws) and terminate
+    # with it.
+    sub = (t_row[safe], v_row[safe],
+           jnp.where(in_sub, step[safe], length),
+           rnd[safe], frozen[safe] & in_sub, walks)
+    wid_sub = wid[safe]
+    ids_rows = jnp.where(in_sub, sub_ids, num_walkers)
+    sub_cap = min(exact_cap, drain_cap)
+
+    def sub_cond(c):
+        st, n = c
+        return jnp.any(st[2] < length) & (n + full_blocks < drain_blocks)
+
+    def sub_drain(c):
+        st, n = c
+        return block(st, wid_s=wid_sub, ids=ids_rows, cap=sub_cap), n + 1
+
+    sub, _ = lax.while_loop(sub_cond, sub_drain, (sub, jnp.int32(0)))
+    return sub[5][:, : length + 1]
 
 
 def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
