@@ -163,9 +163,11 @@ class TestRoutedNode2vec:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
 
     def test_collectives_per_step_amortized(self, mesh):
-        """VERDICT r1 item 5 'done' criterion: one all_to_all per phase,
-        <= 2 phases per walk step amortized (v1 paid 2 psums per rejection
-        round, ~7 rounds-worth of full-frontier traffic per step)."""
+        """One all_to_all per phase, <= 3 phases per walk step amortized:
+        ~1.3-1.6 draw/resolve phases (v1 paid 2 psums per rejection round,
+        ~7 rounds-worth of full-frontier traffic per step) plus exactly one
+        LOG hop per step — the price of even-share O(B*L/D) per-shard walk
+        memory (VERDICT r2 item 4; was O(B*L) per shard)."""
         g = random_graph(4000, 8, seed=53)
         pg = PartitionedCSR.from_csr(g, mesh.devices.size)
         hashes = build_partition_hashes(pg, g)
@@ -176,9 +178,9 @@ class TestRoutedNode2vec:
             pg, hashes, targets, mesh, 0.5, 2.0, length, seed=11,
             blooms=blooms)
         assert info["overflow_dropped"] == 0
-        assert info["collectives_per_step"] <= 2.0, info
+        assert info["collectives_per_step"] <= 3.0, info
         # Exchange volume is O(B) per phase, not O(B * D).
-        assert info["exchange_bytes"] < 56 * 3 * 1024 * (length + 2)
+        assert info["exchange_bytes"] < 56 * 4 * 1024 * (length + 2)
 
     def test_starved_capacity_exact(self, mesh):
         g = random_graph(1000, 5, seed=54)
@@ -510,3 +512,31 @@ def test_routed_walk_length_zero(mesh):
     w2, info2 = walk_edge_list_partitioned_routed(pe, t, mesh, 0, 16)
     assert w2.shape == (16, 1)
     assert info2["overflow_dropped"] == 0
+
+
+def test_large_batch_hub_skew_carry_engages(mesh):
+    """VERDICT r2 item 3/4 'done' criterion: a realistic batch (B = 64K) on
+    a hub-skewed graph with the DEFAULT RoutedConfig — the capacity
+    carry-over machinery provably engages at volume (walkers lag phases
+    beyond the no-carry minimum of 2(L+1)), zero-drop holds loudly, and
+    walks stay bit-identical to the single-device engine.  Per-shard walk
+    memory is the even share B*(L+1)/D by construction (the walk tensor is
+    the wid-sharded shard_map output itself)."""
+    rng = np.random.default_rng(97)
+    n, e = 4096, 40_000
+    # 85% of edges point INTO 32 hub nodes owned by one shard.
+    src = rng.integers(0, n, e)
+    dst = np.where(rng.random(e) < 0.85, rng.integers(0, 32, e),
+                   rng.integers(0, n, e))
+    g = CSRGraph.from_edges(src, dst, num_nodes=n)
+    pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+    num_walkers, length = 65_536, 8
+    targets = jnp.arange(num_walkers, dtype=jnp.int32) % n
+    ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, length, seed=5)
+    walks, info = walk_partitioned_routed(pg, targets, mesh, length, seed=5)
+    assert info["overflow_dropped"] == 0
+    assert info["log_entries"] == num_walkers * (length + 1)
+    # Hub arrivals exceed per-destination pair capacity -> carry engages
+    # and the run takes more than the no-carry phase count.
+    assert info["phases"] > 2 * (length + 1), info
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))

@@ -292,11 +292,15 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     # is small against a 3.5ms round).
     freeze_rate = fp_est * band_frac
     if rounds_per_block is None:
-        # Thresholds anchored to the measured sweep: the deg-18 bench shape
-        # estimates freeze ~0.06 and rpb=3 wins there (12.76M vs 12.02M at
-        # rpb=2); products-shape deg-52 estimates ~0.23 and needs rpb=1.
+        # Thresholds anchored to the r3 post-drain sweeps: with the
+        # compacted straggler drain, frozen-lane stalls cost less, so the
+        # sweet spot moved to LONGER blocks — rpb=4 is at/near the top on
+        # both the deg-18 bench shape (14.21 vs 14.28 at rpb=5, 14.04 at
+        # rpb=3) and the deg-52 products shape (9.67, best measured); very
+        # high freeze rates (saturating Blooms) still want per-round exact
+        # passes.
         rounds_per_block = 1 if freeze_rate > 0.15 else (
-            2 if freeze_rate > 0.09 else 3)
+            2 if freeze_rate > 0.09 else 4)
     if round_unroll is None:
         round_unroll = rounds_per_block
     inflow = 1.4 * fp_est * band_frac * rounds_per_block * num_walkers
@@ -486,52 +490,74 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
 
     # Straggler drain.  Lane completion rounds concentrate around the mean
     # (sum of L geometrics: sigma/mu ~ 1/sqrt(L)), so the scan phase covers
-    # the bulk; but the LAST lane of a 128K batch needs ~mu + 4.5 sigma
-    # rounds, and running those tail rounds at full batch wastes ~25% of
-    # all gather work on finished lanes (measured r3).  Phase 1 tops up at
-    # full batch only while more than ``drain_cap`` lanes remain (covers
-    # graphs where real acceptance sits near the worst-case bound the scan
-    # length is derived from); phase 2 compacts the survivors ONCE into a
-    # ``drain_cap``-lane subset and finishes there, with walk emission via
-    # sorted scatters.  Draws stay pure functions of (wid, step, round), so
-    # WHERE a round is evaluated never changes WHAT it evaluates to —
-    # bit-identity with the jnp mixture/rejection oracle is preserved.
-    drain_cap = min(num_walkers,
-                    max(((num_walkers // 4) + 127) // 128 * 128, 256))
+    # the bulk — but the tail is LONG (per-lane acceptance varies with the
+    # local graph, and frozen lanes advance only at exact passes), and
+    # running tail rounds at full batch wastes ~25% of all gather work on
+    # finished lanes (measured r3: drain = 185 ms of a 738 ms walk when run
+    # at one B/4 level).  So the drain is MULTI-LEVEL: before each level, a
+    # guarded loop runs blocks at the current width only while more than
+    # the next capacity remains active; survivors then compact into the
+    # next level (B/4 -> B/16 -> B/64), with walk emission via sorted
+    # scatters addressed by global lane id.  Draws stay pure functions of
+    # (wid, step, round), so WHERE a round is evaluated never changes WHAT
+    # it evaluates to — bit-identity with the jnp oracles is preserved.
+    def cap_of(frac):
+        return min(num_walkers,
+                   max(((num_walkers // frac) + 127) // 128 * 128, 256))
 
-    def full_drain_cond(c):
-        st, n = c
-        return ((active_count(st) > drain_cap) & (n < drain_blocks))
+    level_caps = []
+    for frac in (4, 16, 64):
+        c = cap_of(frac)
+        if not level_caps or c < level_caps[-1]:
+            level_caps.append(c)
 
-    state, full_blocks = lax.while_loop(
-        full_drain_cond, lambda c: (block(c[0]), c[1] + 1),
+    def compact_level(st, wid_s, ids_rows, c):
+        """Compact the active lanes of ``st`` into a c-lane level.  Padding
+        lanes clone the last real lane (reads are safe; writes go to the
+        OOB row / junk column and drop) and are marked done (step=length)
+        so they never participate."""
+        t_row, v_row, step, rnd, frozen, walks = st
+        size = step.shape[0]
+        idx = _compact(step < length, c)
+        safe = jnp.minimum(idx, size - 1)
+        act = idx < size
+        src_rows = idx if ids_rows is None else ids_rows[safe]
+        new_ids = jnp.where(act, src_rows, num_walkers)
+        sub = (t_row[safe], v_row[safe],
+               jnp.where(act, step[safe], length),
+               rnd[safe], frozen[safe] & act, walks)
+        return sub, wid_s[safe], new_ids
+
+    budget = jnp.int32(drain_blocks)
+    cur_wid, cur_ids = wid, None
+    for c in level_caps:
+        kw = dict(wid_s=cur_wid, ids=cur_ids,
+                  cap=min(exact_cap, state[2].shape[0]))
+
+        def guard_cond(carry, _c=c, _kw=kw):
+            st, n = carry
+            return (active_count(st) > _c) & (n < budget)
+
+        def guard_body(carry, _kw=kw):
+            st, n = carry
+            return block(st, **_kw), n + 1
+
+        state, used = lax.while_loop(guard_cond, guard_body,
+                                     (state, jnp.int32(0)))
+        budget = budget - used
+        state, cur_wid, cur_ids = compact_level(state, cur_wid, cur_ids, c)
+
+    last_kw = dict(wid_s=cur_wid, ids=cur_ids,
+                   cap=min(exact_cap, state[2].shape[0]))
+
+    def final_cond(carry):
+        st, n = carry
+        return jnp.any(st[2] < length) & (n < budget)
+
+    state, _ = lax.while_loop(
+        final_cond, lambda carry: (block(carry[0], **last_kw), carry[1] + 1),
         (state, jnp.int32(0)))
-
-    t_row, v_row, step, rnd, frozen, walks = state
-    sub_ids = _compact(step < length, drain_cap)
-    safe = jnp.minimum(sub_ids, num_walkers - 1)
-    in_sub = sub_ids < num_walkers
-    # Padding lanes clone lane B-1 (reads are safe; their writes go to the
-    # OOB row / junk column and are dropped).  Cloned-active lanes evolve
-    # identically to the real one (same wid -> same draws) and terminate
-    # with it.
-    sub = (t_row[safe], v_row[safe],
-           jnp.where(in_sub, step[safe], length),
-           rnd[safe], frozen[safe] & in_sub, walks)
-    wid_sub = wid[safe]
-    ids_rows = jnp.where(in_sub, sub_ids, num_walkers)
-    sub_cap = min(exact_cap, drain_cap)
-
-    def sub_cond(c):
-        st, n = c
-        return jnp.any(st[2] < length) & (n + full_blocks < drain_blocks)
-
-    def sub_drain(c):
-        st, n = c
-        return block(st, wid_s=wid_sub, ids=ids_rows, cap=sub_cap), n + 1
-
-    sub, _ = lax.while_loop(sub_cond, sub_drain, (sub, jnp.int32(0)))
-    return sub[5][:, : length + 1]
+    return state[5][:, : length + 1]
 
 
 def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,

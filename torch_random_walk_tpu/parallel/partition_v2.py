@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from functools import partial
 
 import numpy as np
 import jax
@@ -66,14 +65,19 @@ class RoutedConfig:
     carry_capacity: per-destination retained-record slots for departures that
         exceeded pair_capacity (they retransmit next phase; sized so extreme
         hot spots queue instead of dropping).
-    log_capacity: per-shard walk-log slots (total log entries are exactly
-        B * (L + 1); hub shards log more than B*(L+1)/D — size with slack).
-    max_phases: while_loop bound (L+1 plus carry slack).
+    max_phases: while_loop bound (~2(L+1) plus carry slack: every step is a
+        draw phase at owner(v) plus a log phase at the walker's WID-OWNER,
+        where its (blk, L+1) walk shard lives).
+    log_capacity: accepted and ignored (pre-r3 compatibility).  Walk logs
+        are no longer per-shard buffers: positions scatter into the
+        wid-owner's even-share walk shard, so per-shard walk memory is
+        EXACTLY B*(L+1)/D — it shrinks with the fleet instead of paying the
+        old worst-case B*(L+1) on every chip (VERDICT r2 item 4).
     """
 
     pair_capacity: int
-    log_capacity: int
-    max_phases: int
+    log_capacity: int | None = None
+    max_phases: int = 0
     carry_capacity: int | None = None
 
     @property
@@ -84,28 +88,21 @@ class RoutedConfig:
     @classmethod
     def for_walk(cls, num_walkers: int, num_shards: int, walk_length: int,
                  balance: float = 4.0) -> "RoutedConfig":
-        """Zero-drop default: at most B records are ever in flight (the
-        departure lanes per arrival are mutually exclusive), so
-        ``cap + carry >= B`` per destination guarantees overflow can never
-        fire, whatever the hub skew.  pair_capacity stays ~balance*B/D^2
-        (the all_to_all payload); the skew tail queues in the carry buffer
-        and lags phases instead of dropping."""
+        """Zero-drop default: at most B records are ever in flight (each
+        walker is exactly one record — the LOG hop forwards the same
+        record), so ``cap + carry >= B`` per destination guarantees
+        overflow can never fire, whatever the hub skew.  pair_capacity
+        stays ~balance*B/D^2 (the all_to_all payload); the skew tail queues
+        in the carry buffer and lags phases instead of dropping."""
         pair = int(balance * max(num_walkers // max(num_shards ** 2, 1), 1))
         pair = max((pair + 127) // 128 * 128, 128)
-        # Worst-case log: total entries are exactly B*(L+1), so sizing every
-        # shard for ALL of them makes the default truly zero-drop even when
-        # one shard owns every hot node (absorbing/hub-skewed graphs).  12
-        # bytes/slot — ~125MB/shard at B=128K, L=80 — is cheap next to the
-        # graph shard itself; balance-scaled sizing (4x the even share) hit
-        # the loud RuntimeError on skew.
-        log = num_walkers * (walk_length + 1)
-        log = max((log + 127) // 128 * 128, 256)
         # max_phases only bounds the while_loop (it exits on inflight == 0
         # first), so cover worst-case carry queueing — a fully skewed step
-        # drains one hot destination at pair_capacity records/phase.
+        # drains one hot destination at pair_capacity records/phase.  Each
+        # step is 2 phases (draw + log).
         drain = (num_walkers + pair - 1) // pair
-        return cls(pair_capacity=pair, log_capacity=log,
-                   max_phases=(walk_length + 2) * max(4, drain),
+        return cls(pair_capacity=pair,
+                   max_phases=(2 * walk_length + 4) * max(4, drain),
                    carry_capacity=max(num_walkers - pair, pair))
 
 
@@ -184,7 +181,7 @@ def _check_complete(info, num_walkers: int, walk_length: int,
             f"dropped, {info['log_entries']}/{expected} positions logged "
             f"after {info['phases']} phases — raise RoutedConfig capacities "
             f"(pair_capacity={cfg.pair_capacity}, carry={cfg.carry}, "
-            f"log_capacity={cfg.log_capacity}, max_phases={cfg.max_phases})")
+            f"max_phases={cfg.max_phases})")
 
 
 def _empty_carry(nshards, ccap, width):
@@ -208,10 +205,22 @@ def _make_a2a(exchange: str, axis: str, nshards: int, interpret: bool):
                                     tiled=False)
 
 
+# LOG-hop marker: top bit of the record's step word.  A record cycles
+# owner(v_s) --draw--> WID-OWNER (logs walk[s+1] into its even-share walk
+# shard, forwards) --> owner(v_{s+1}).  Each walker is exactly ONE record
+# at all times, so the in-flight <= B zero-drop invariant is unchanged;
+# per-shard walk memory is exactly blk*(L+1) (VERDICT r2 item 4), at the
+# cost of 2 phases (2 all_to_all hops) per step.
+_LOG_BIT = np.uint32(1 << 31)
+# Edge-list dead-end restart: the LOG record carries BOTH the pad position
+# (pre-filled) and the jump back to the target (scattered at step+1).
+_FUSE_BIT = np.uint32(1 << 30)
+
+
 @functools.lru_cache(maxsize=64)
 def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
                         shard_nodes: int, num_walkers: int, walk_length: int,
-                        cap: int, ccap: int, log_cap: int,
+                        cap: int, ccap: int,
                         max_phases: int, exchange: str,
                         exchange_interpret: bool):
     """Build (and cache) the jitted shard_map for one routed-walk shape.
@@ -228,12 +237,19 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
         e_max = col.shape[0]
         blk = num_walkers // nshards
 
+        # Even-share walk shard: this process owns walkers
+        # [my*blk, (my+1)*blk); position 0 is local by construction
+        # (targets are wid-sharded).
+        walks_local = jnp.zeros((blk + 1, walk_length + 2), jnp.int32)
+        walks_local = walks_local.at[:blk, 0].set(tgt_local)
+        log_n = jnp.int32(blk)
+
         # --- phase-0 outbox: route each local target to its owner. -------
         wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
         rec0 = jnp.stack([wid0, jnp.zeros((blk,), jnp.uint32),
                           tgt_local.astype(jnp.uint32)], axis=1)  # (blk, R)
         dest0 = jnp.clip(tgt_local // shard_nodes, 0, nshards - 1)
-        valid0 = jnp.ones((blk,), bool)
+        valid0 = jnp.ones((blk,), bool) & (walk_length > 0)
 
         def build_outbox(recs, dests, valid, carry, carry_valid):
             return _build_outbox(recs, dests, valid, carry, carry_valid,
@@ -242,32 +258,33 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
         outbox, carry, carry_valid, ovf0 = build_outbox(
             rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_UNIFORM))
 
-        # One junk row at log_cap catches clamped writes; allocated once so
-        # the while_loop updates it in place (no per-phase copies).
-        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
-        log_n = jnp.int32(0)
-
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
         def phase(state):
-            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
-             phases, overflow) = state
+            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
+             sent_recs, phases, overflow) = state
             inbox = a2a(outbox)
             recs = inbox.reshape(-1, _R_UNIFORM)          # (D*cap, R)
             wid = recs[:, 0]
             arrived = wid != sentinel
-            step = recs[:, 1]
+            is_log = arrived & ((recs[:, 1] & _LOG_BIT) != 0)
+            step = recs[:, 1] & ~_LOG_BIT
             v = recs[:, 2].astype(jnp.int32)
 
-            # Log (wid, step, v) for every arrival.
-            pos = log_n + jnp.cumsum(arrived.astype(jnp.int32)) - 1
-            slot = jnp.where(arrived & (pos < log_cap), pos, log_cap)
-            entry = jnp.stack([wid, step, recs[:, 2]], axis=1)
-            log = log.at[slot].set(entry)
-            log_n = log_n + jnp.sum(arrived.astype(jnp.int32))
+            # LOG arrivals: we are this walker's wid-owner — scatter
+            # walk[step] = v into the local shard, then forward the SAME
+            # record to owner(v) for the next draw (unless finished).
+            wrow = jnp.where(is_log, (wid - my * blk).astype(jnp.int32), blk)
+            wcol = jnp.where(is_log, step, walk_length + 1).astype(jnp.int32)
+            walks_local = walks_local.at[wrow, wcol].set(v)
+            log_n = log_n + jnp.sum(is_log.astype(jnp.int32))
+            fwd_log = is_log & (step < walk_length)
+            rec_fwd = jnp.stack([wid, step, recs[:, 2]], axis=1)
+            dest_fwd = jnp.clip(v // shard_nodes, 0, nshards - 1)
 
-            # Step the walkers that still have steps to take.
-            stepping = arrived & (step < walk_length)
+            # STEP arrivals: we are owner(v) — draw the next neighbor and
+            # send the advanced record to the walker's wid-owner to log.
+            stepping = arrived & ~is_log & (step < walk_length)
             local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
             rows = meta[local]
             start, deg = rows[:, 0], rows[:, 1]
@@ -276,23 +293,24 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
             off = prng.randint_from_bits(bits, jnp.maximum(deg, 1))
             idx = jnp.clip(start + off.astype(start.dtype), 0, e_max - 1)
             nxt = jnp.where(deg > 0, col[idx], v)
-            new_rec = jnp.stack([wid, step + 1, nxt.astype(jnp.uint32)],
-                                axis=1)
-            new_rec = jnp.where(stepping[:, None], new_rec,
-                                jnp.zeros_like(new_rec).at[:, 0].set(
-                                    sentinel))
-            dest = jnp.clip(nxt // shard_nodes, 0, nshards - 1)
+            new_rec = jnp.stack([wid, (step + 1) | _LOG_BIT,
+                                 nxt.astype(jnp.uint32)], axis=1)
+            dest_new = jnp.clip((wid // jnp.uint32(blk)).astype(jnp.int32),
+                                0, nshards - 1)
+
+            recs_out = jnp.concatenate([rec_fwd, new_rec])
+            dest_out = jnp.concatenate([dest_fwd, dest_new])
+            valid_out = jnp.concatenate([fwd_log, stepping])
 
             outbox, carry, carry_valid, ovf = build_outbox(
-                new_rec, dest, stepping, carry, carry_valid)
-            sent = (jnp.sum(stepping.astype(jnp.int32))
-                    + jnp.sum(carry_valid.astype(jnp.int32)))
+                recs_out, dest_out, valid_out, carry, carry_valid)
+            sent = jnp.sum(valid_out.astype(jnp.int32))
             # In-flight = records still travelling anywhere (psum'd so the
             # while cond is shard-invariant).
             inflight = lax.psum(
                 jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
                 + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, log, log_n, inflight,
+            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
                     sent_recs + sent, phases + 1, overflow + ovf)
 
         def cond(state):
@@ -309,15 +327,18 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
             # (No-op under check_vma=False, i.e. the Pallas exchange.)
             if exchange == "pallas":
                 return x
-            return lax.pcast(x, axis, to="varying")
+            try:
+                return lax.pcast(x, axis, to="varying")
+            except ValueError:
+                return x  # already device-varying (derived from inputs)
 
-        state = (outbox, carry, carry_valid, varying(log), varying(log_n),
-                 init_inflight, varying(jnp.int32(0)), jnp.int32(0), ovf0)
+        state = (outbox, carry, carry_valid, varying(walks_local),
+                 varying(log_n), init_inflight, varying(jnp.int32(0)),
+                 jnp.int32(0), ovf0)
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, log, log_n, _, sent_recs, phases, overflow) = state
-        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow) = state
         stats = jnp.stack([log_n, sent_recs, phases, overflow])
-        return log[None, :log_cap], stats[None]
+        return walks_local[None, :blk, : walk_length + 1], stats[None]
 
     return jax.jit(
         jax.shard_map(
@@ -355,15 +376,16 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
     fn = _routed_uniform_jit(mesh, axis, nshards, pgraph.shard_nodes,
                              num_walkers, walk_length,
-                             cfg.pair_capacity, cfg.carry, cfg.log_capacity,
+                             cfg.pair_capacity, cfg.carry,
                              cfg.max_phases, exchange,
                              bool(exchange_interpret))
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_CSR_UNIFORM)),
         NamedSharding(mesh, P()))
-    logs, stats = fn(key, meta_sh, col_sh, targets)
+    shard_walks, stats = fn(key, meta_sh, col_sh, targets)
 
-    walks = _assemble(logs, num_walkers, walk_length)
+    # (D, blk, L+1) wid-sharded shards ARE the walk tensor in wid order.
+    walks = shard_walks.reshape(num_walkers, walk_length + 1)
     stats = np.asarray(stats)
     info = {
         "log_entries": int(stats[:, 0].sum()),
@@ -382,9 +404,12 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
 #   w0 wid | w1 step + flags<<24 | w2 t | w3 v | w4 replay round
 #   w5 a_cand | w6 f1_cand | w7 f1_rnd | w8 f2_cand | w9 f2_rnd
 #   w10-w13: 128-bit Bloom filter of N(t) (see _BLOOM_MULS)
-# flags: bit0 mode, bit1 has_a, bit2 overflow, bits 3-4 n_f.
+# flags: bit0 mode, bit1 has_a, bit2 overflow, bits 3-4 n_f, bit 5 LOG
+# (the record is on its wid-owner hop: walk[step] = w3 gets scattered
+# into the even-share walk shard there, then the record forwards to
+# owner(w3) with the flag cleared).
 _R_N2V = 14
-_F_MODE, _F_HAS_A, _F_OVF = 1, 2, 4
+_F_MODE, _F_HAS_A, _F_OVF, _F_LOG = 1, 2, 4, 32
 
 # Per-node Bloom filters (graph/bloom.py): most in-band draws are NOT
 # neighbors of t, and a local no-false-negative test decides them without
@@ -468,13 +493,14 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
     fn = _routed_n2v_jit(mesh, axis, nshards, pgraph.shard_nodes,
                          num_walkers, walk_length, float(p),
                          float(q), int(spec_rounds), int(hash_log),
-                         cfg.pair_capacity, cfg.carry, cfg.log_capacity,
+                         cfg.pair_capacity, cfg.carry,
                          cfg.max_phases, exchange, bool(exchange_interpret))
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_CSR_BIASED)),
         NamedSharding(mesh, P()))
-    logs, stats = fn(key, meta_sh, col_sh, ht_sh, salts_sh, bloom_sh, targets)
-    walks = _assemble(logs, num_walkers, walk_length)
+    shard_walks, stats = fn(key, meta_sh, col_sh, ht_sh, salts_sh, bloom_sh,
+                            targets)
+    walks = shard_walks.reshape(num_walkers, walk_length + 1)
     stats = np.asarray(stats)
     info = {
         "log_entries": int(stats[:, 0].sum()),
@@ -493,7 +519,7 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
 def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
                     num_walkers: int, walk_length: int, p: float,
                     q: float, spec_rounds: int, hash_log: int, cap: int,
-                    ccap: int, log_cap: int, max_phases: int, exchange: str,
+                    ccap: int, max_phases: int, exchange: str,
                     exchange_interpret: bool):
     """Cached jitted shard_map builder for the routed node2vec engine (same
     rationale as _routed_uniform_jit: the threefry key is a traced argument,
@@ -544,31 +570,35 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
             _, b_acc = prng.counter_bits(key, wid, c1)
             return prng.uniform_from_bits(b_acc)
 
+        # Even-share walk shard (walkers [my*blk, (my+1)*blk)); position 0
+        # is local by construction (targets are wid-sharded).
+        walks_local = jnp.zeros((blk + 1, walk_length + 2), jnp.int32)
+        walks_local = walks_local.at[:blk, 0].set(tgt_local)
+
         # --- phase-0: route targets (step=0 STEP records) to owners. -----
         wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
         z = jnp.zeros((blk,), jnp.uint32)
         zb = jnp.zeros((blk, _BLOOM_WORDS), jnp.uint32)
         rec0 = pack(wid0, z, z, tgt_local, tgt_local, z, z, z, z, z, z, zb)
         outbox, carry, carry_valid, ovf0 = _build_outbox(
-            rec0, owner(tgt_local), jnp.ones((blk,), bool),
+            rec0, owner(tgt_local), jnp.ones((blk,), bool) & (walk_length > 0),
             *_empty_carry(nshards, ccap, _R_N2V), nshards=nshards, cap=cap,
             ccap=ccap)
-
-        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
 
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
         def phase(state):
-            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
-             phases, overflow) = state
+            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
+             sent_recs, phases, overflow) = state
             inbox = a2a(outbox)
             recs = inbox.reshape(-1, _R_N2V)
             wid = recs[:, 0]
             arrived = wid != sentinel
             step = recs[:, 1] & jnp.uint32(0xFFFFFF)
             flags = recs[:, 1] >> jnp.uint32(24)
-            mode_resolve = arrived & ((flags & _F_MODE) != 0)
-            mode_step = arrived & ~mode_resolve
+            mode_log = arrived & ((flags & _F_LOG) != 0)
+            mode_resolve = arrived & ~mode_log & ((flags & _F_MODE) != 0)
+            mode_step = arrived & ~mode_log & ~mode_resolve
             t = recs[:, 2].astype(jnp.int32)
             v = recs[:, 3].astype(jnp.int32)
             rnd0 = recs[:, 4]
@@ -585,13 +615,19 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
             n_f = flags >> jnp.uint32(3)
             s = step + 1  # the step being taken
 
-            # Log the arrival position of fresh STEP records (rnd == 0).
-            logging = mode_step & (rnd0 == 0)
-            pos = log_n + jnp.cumsum(logging.astype(jnp.int32)) - 1
-            slot = jnp.where(logging & (pos < log_cap), pos, log_cap)
-            log = log.at[slot].set(
-                jnp.stack([wid, step, recs[:, 3]], axis=1))
-            log_n = log_n + jnp.sum(logging.astype(jnp.int32))
+            # ---- LOG arrivals: we are this walker's wid-owner. ----------
+            # Scatter walk[step] = v into the local shard, then forward the
+            # SAME record (flag cleared) to owner(v) unless finished.
+            wrow = jnp.where(mode_log, (wid - my * blk).astype(jnp.int32),
+                             blk)
+            wcol = jnp.where(mode_log, step,
+                             jnp.uint32(walk_length + 1)).astype(jnp.int32)
+            walks_local = walks_local.at[wrow, wcol].set(v)
+            log_n = log_n + jnp.sum(mode_log.astype(jnp.int32))
+            fwd_log = mode_log & (step < walk_length)
+            rec_fwd = jnp.concatenate(
+                [recs[:, :1], step[:, None], recs[:, 2:]], axis=1)
+            dest_fwd = owner(v)
 
             # ---- STEP arrivals: draw + no-hash classify. ----------------
             local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
@@ -679,10 +715,10 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
 
             # ---- departures -------------------------------------------
             zf = jnp.zeros_like(wid)
-            # (a) resolved steps (from STEP or RESOLVE): fresh STEP record.
-            # A walker that just took its LAST step still travels once more
-            # (to log walk[L] at its owner); arrivals with step == L forward
-            # nothing (step < walk_length gate).
+            # (a) resolved steps (from STEP or RESOLVE): fresh record to
+            # the walker's WID-OWNER (LOG hop — it scatters walk[s] there,
+            # then forwards to owner(adv_next); a walker that just took its
+            # last step dies at its wid-owner after logging).
             adv_next = jnp.where(mode_resolve, res_next, step_next)
             adv_valid = step_done | res_ok
             # Fresh record's t is the current v: its Bloom is local here for
@@ -690,8 +726,8 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
             v_bloom_local = bloom[local]
             fresh_tb = jnp.where(mode_resolve[:, None], rec_bloom,
                                  v_bloom_local)
-            fresh = pack(wid, s, zf, v, adv_next, zf, zf, zf, zf, zf, zf,
-                         fresh_tb)
+            fresh = pack(wid, s, jnp.full_like(wid, _F_LOG), v, adv_next,
+                         zf, zf, zf, zf, zf, zf, fresh_tb)
             # (b) frozen-pending: RESOLVE record to owner(t), shipping
             # N(v)'s Bloom so the resolve site can pack the next record.
             pend_flags = (jnp.uint32(_F_MODE)
@@ -713,10 +749,13 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
                        zf, zf, zf, zf, zf, rep_tb)
             rep_valid = allrej | res_fail
 
-            recs_out = jnp.concatenate([fresh, pend, rep])
+            wid_dest = jnp.clip((wid // jnp.uint32(blk)).astype(jnp.int32),
+                                0, nshards - 1)
+            recs_out = jnp.concatenate([rec_fwd, fresh, pend, rep])
             dest_out = jnp.concatenate([
-                owner(adv_next), owner(t), owner(v)])
-            valid_out = jnp.concatenate([adv_valid, pending, rep_valid])
+                dest_fwd, wid_dest, owner(t), owner(v)])
+            valid_out = jnp.concatenate([fwd_log, adv_valid, pending,
+                                         rep_valid])
 
             outbox, carry, carry_valid, ovf = _build_outbox(
                 recs_out, dest_out, valid_out, carry, carry_valid,
@@ -725,7 +764,7 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
             inflight = lax.psum(
                 jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
                 + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, log, log_n, inflight,
+            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
                     sent_recs + sent, phases + 1, overflow + ovf)
 
         def cond(state):
@@ -734,18 +773,20 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
         def varying(x):
             if exchange == "pallas":
                 return x
-            return lax.pcast(x, axis, to="varying")
+            try:
+                return lax.pcast(x, axis, to="varying")
+            except ValueError:
+                return x  # already device-varying (derived from inputs)
 
         init_inflight = lax.psum(
             jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
-        state = (outbox, carry, carry_valid, varying(log),
-                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
-                 jnp.int32(0), ovf0)
+        state = (outbox, carry, carry_valid, varying(walks_local),
+                 varying(jnp.int32(blk)), init_inflight,
+                 varying(jnp.int32(0)), jnp.int32(0), ovf0)
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, log, log_n, _, sent_recs, phases, overflow) = state
-        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow) = state
         stats = jnp.stack([log_n, sent_recs, phases, overflow])
-        return log[None, :log_cap], stats[None]
+        return walks_local[None, :blk, : walk_length + 1], stats[None]
 
     return jax.jit(
         jax.shard_map(
@@ -759,27 +800,17 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
     )
 
 
-@partial(jax.jit, static_argnames=("num_walkers", "walk_length"))
-def _assemble(logs, num_walkers, walk_length):
-    """Scatter (D, log_cap, 3) logs into the (B, L+1) walk tensor."""
-    flat = logs.reshape(-1, 3)
-    wid = flat[:, 0]
-    ok = wid != jnp.uint32(0xFFFFFFFF)
-    row = jnp.where(ok, wid, num_walkers).astype(jnp.int32)
-    coli = jnp.where(ok, flat[:, 1], walk_length + 1).astype(jnp.int32)
-    walks = jnp.zeros((num_walkers + 1, walk_length + 2), jnp.int32)
-    walks = walks.at[row, coli].set(flat[:, 2].astype(jnp.int32))
-    return walks[:num_walkers, : walk_length + 1]
 
 
 # ---------------------------------------------------------------------------
 # KG-triples family: owner-routed partitioned walks.
 # ---------------------------------------------------------------------------
 
-# Triples record layout (uint32 words): wid, completed steps, entity.
-_R_TRIPLES = 3
-# Triples log layout: wid, step, relation, tail.
-_LOG_TRIPLES = 4
+# Triples record layout (uint32 words): wid, step(|LOG), relation, entity.
+# STEP hop (at owner(entity)): relation word unused.  LOG hop (at the
+# walker's wid-owner): (relation, entity) is the transition to scatter at
+# columns (2*step-1, 2*step) of the even-share walk shard.
+_R_TRIPLES = 4
 
 
 def _range_partition(index, payload, n: int, num_shards: int):
@@ -882,16 +913,17 @@ class PartitionedTriples:
 def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
                         shard_entities: int, num_walkers: int,
                         walk_length: int, padding_idx: int, cap: int,
-                        ccap: int, log_cap: int, max_phases: int,
+                        ccap: int, max_phases: int,
                         exchange: str, exchange_interpret: bool):
-    """Owner-routed KG-triples walks: each arrival is one local (S, 2)
+    """Owner-routed KG-triples walks: each STEP arrival is one local (S, 2)
     meta-row gather + one (E_max, 2) rel/tail row gather + a threefry draw;
-    the (relation, tail) transition is logged and the walker is forwarded to
-    owner(tail).  Absorbing-padding semantics (rw_cpu_triples.cpp:38-42) let
-    absorbed walkers TERMINATE instead of shipping pad records for the
-    remaining steps — the padded slots are pre-filled at assembly, and the
-    draws they would have consumed are masked to pad in the single-device
-    engine too, so bit-identity is preserved."""
+    the (relation, tail) transition then hops to the walker\'s WID-OWNER,
+    which scatters it into its even-share (blk, 2L+1) walk shard and
+    forwards the walker to owner(tail).  Absorbing-padding semantics
+    (rw_cpu_triples.cpp:38-42) let absorbed walkers TERMINATE at the draw
+    shard instead of shipping pad records — the pad slots are pre-filled in
+    the walk shard, and the draws they would have consumed are masked to
+    pad in the single-device engine too, so bit-identity is preserved."""
     sentinel = _SENTINEL
 
     def shard_fn(key, meta, rt, tgt_local):
@@ -901,9 +933,14 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
         e_max = rt.shape[0]
         blk = num_walkers // nshards
         pad = jnp.int32(padding_idx)
+        width = 2 * walk_length + 1
+
+        walks_local = jnp.full((blk + 1, width + 1), pad, jnp.int32)
+        walks_local = walks_local.at[:blk, 0].set(tgt_local)
 
         wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
         rec0 = jnp.stack([wid0, jnp.zeros((blk,), jnp.uint32),
+                          jnp.zeros((blk,), jnp.uint32),
                           tgt_local.astype(jnp.uint32)], axis=1)
         dest0 = jnp.clip(tgt_local // shard_entities, 0, nshards - 1)
         valid0 = jnp.ones((blk,), bool)
@@ -915,23 +952,38 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
         outbox, carry, carry_valid, ovf0 = build_outbox(
             rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_TRIPLES))
 
-        log = jnp.zeros((log_cap + 1, _LOG_TRIPLES),
-                        jnp.uint32).at[:, 0].set(sentinel)
-        log_n = jnp.int32(0)
-
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
         def phase(state):
-            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
-             phases, overflow, done) = state
+            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
+             sent_recs, phases, overflow, done) = state
             inbox = a2a(outbox)
             recs = inbox.reshape(-1, _R_TRIPLES)
             wid = recs[:, 0]
             arrived = wid != sentinel
-            step = recs[:, 1]           # completed steps
-            v = recs[:, 2].astype(jnp.int32)
+            is_log = arrived & ((recs[:, 1] & _LOG_BIT) != 0)
+            step = recs[:, 1] & ~_LOG_BIT   # completed steps
+            v = recs[:, 3].astype(jnp.int32)
 
-            stepping = arrived & (step < walk_length)
+            # LOG arrivals (wid-owner): scatter (rel, tail) at columns
+            # (2*step-1, 2*step), then forward to owner(tail) unless the
+            # walk is finished or the tail is the pad id.
+            wrow = jnp.where(is_log, (wid - my * blk).astype(jnp.int32),
+                             blk)
+            rel_col = jnp.where(is_log, 2 * step - 1,
+                                jnp.uint32(width)).astype(jnp.int32)
+            walks_local = walks_local.at[wrow, rel_col].set(
+                recs[:, 2].astype(jnp.int32))
+            walks_local = walks_local.at[wrow, rel_col + 1].set(v)
+            log_n = log_n + jnp.sum(is_log.astype(jnp.int32))
+            fwd_log = is_log & (step < walk_length) & (v != pad)
+            done = done + jnp.sum((is_log & ~fwd_log).astype(jnp.int32))
+            rec_fwd = jnp.stack([wid, step, jnp.zeros_like(wid),
+                                 recs[:, 3]], axis=1)
+            dest_fwd = jnp.clip(v // shard_entities, 0, nshards - 1)
+
+            # STEP arrivals (owner(v)): draw a (relation, tail) pair.
+            stepping = arrived & ~is_log & (step < walk_length)
             local = jnp.clip(v - my * shard_entities, 0, shard_entities - 1)
             rows = meta[local]
             start, cnt = rows[:, 0], rows[:, 1]
@@ -942,36 +994,31 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
             bits, _ = prng.counter_bits(key, wid, c1)
             off = prng.randint_from_bits(bits, jnp.maximum(cnt, 1))
             idx = jnp.clip(start + off.astype(start.dtype), 0, e_max - 1)
-            rel = jnp.where(has, rt[idx, 0], pad)
-            tail = jnp.where(has, rt[idx, 1], pad)
+            rel = rt[idx, 0]
+            tail = rt[idx, 1]
 
-            # Log the (relation, tail) pair for every stepping arrival.
-            pos = log_n + jnp.cumsum(stepping.astype(jnp.int32)) - 1
-            slot = jnp.where(stepping & (pos < log_cap), pos, log_cap)
-            entry = jnp.stack([wid, step + 1, rel.astype(jnp.uint32),
-                               tail.astype(jnp.uint32)], axis=1)
-            log = log.at[slot].set(entry)
-            log_n = log_n + jnp.sum(stepping.astype(jnp.int32))
+            # Real transitions hop to the wid-owner for logging; absorbed
+            # walkers (no out-triples / at pad) terminate here — their pad
+            # slots are pre-filled in the walk shard.
+            log_dep = stepping & has
+            done = done + jnp.sum((stepping & ~has).astype(jnp.int32))
+            new_rec = jnp.stack([wid, (step + 1) | _LOG_BIT,
+                                 rel.astype(jnp.uint32),
+                                 tail.astype(jnp.uint32)], axis=1)
+            dest_new = jnp.clip((wid // jnp.uint32(blk)).astype(jnp.int32),
+                                0, nshards - 1)
 
-            # Forward only walkers with real transitions left; absorbed or
-            # finished walkers terminate here.
-            forward = stepping & has & (step + 1 < walk_length) & (tail != pad)
-            done = done + jnp.sum((stepping & ~forward).astype(jnp.int32))
-            new_rec = jnp.stack([wid, step + 1, tail.astype(jnp.uint32)],
-                                axis=1)
-            new_rec = jnp.where(forward[:, None], new_rec,
-                                jnp.zeros_like(new_rec).at[:, 0].set(
-                                    sentinel))
-            dest = jnp.clip(tail // shard_entities, 0, nshards - 1)
+            recs_out = jnp.concatenate([rec_fwd, new_rec])
+            dest_out = jnp.concatenate([dest_fwd, dest_new])
+            valid_out = jnp.concatenate([fwd_log, log_dep])
 
             outbox, carry, carry_valid, ovf = build_outbox(
-                new_rec, dest, forward, carry, carry_valid)
-            sent = (jnp.sum(forward.astype(jnp.int32))
-                    + jnp.sum(carry_valid.astype(jnp.int32)))
+                recs_out, dest_out, valid_out, carry, carry_valid)
+            sent = jnp.sum(valid_out.astype(jnp.int32))
             inflight = lax.psum(
                 jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
                 + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, log, log_n, inflight,
+            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
                     sent_recs + sent, phases + 1, overflow + ovf, done)
 
         def cond(state):
@@ -983,16 +1030,19 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
         def varying(x):
             if exchange == "pallas":
                 return x
-            return lax.pcast(x, axis, to="varying")
+            try:
+                return lax.pcast(x, axis, to="varying")
+            except ValueError:
+                return x  # already device-varying (derived from inputs)
 
-        state = (outbox, carry, carry_valid, varying(log), varying(log_n),
-                 init_inflight, varying(jnp.int32(0)), jnp.int32(0), ovf0,
-                 varying(jnp.int32(0)))
+        state = (outbox, carry, carry_valid, varying(walks_local),
+                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
+                 jnp.int32(0), ovf0, varying(jnp.int32(0)))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, log, log_n, _, sent_recs, phases, overflow, done) = state
-        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow,
+         done) = state
         stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
-        return log[None, :log_cap], stats[None]
+        return walks_local[None, :blk, :width], stats[None]
 
     return jax.jit(
         jax.shard_map(
@@ -1005,25 +1055,6 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
     )
 
 
-@partial(jax.jit, static_argnames=("num_walkers", "walk_length"))
-def _assemble_triples(logs, targets, num_walkers, walk_length, padding_idx):
-    """Scatter (D, log_cap, 4) transition logs into the (B, 2L+1) walk
-    tensor pre-filled with padding (absorbed steps are never logged).
-    ``padding_idx`` is a traced fill value — only the shape params are
-    static."""
-    flat = logs.reshape(-1, _LOG_TRIPLES)
-    wid = flat[:, 0]
-    ok = wid != _SENTINEL
-    row = jnp.where(ok, wid, num_walkers).astype(jnp.int32)
-    step = flat[:, 1].astype(jnp.int32)
-    width = 2 * walk_length + 1
-    walks = jnp.full((num_walkers + 1, width + 1), padding_idx, jnp.int32)
-    walks = walks.at[:num_walkers, 0].set(jnp.asarray(targets, jnp.int32))
-    rel_col = jnp.where(ok, 2 * step - 1, width)
-    tail_col = jnp.where(ok, 2 * step, width)
-    walks = walks.at[row, rel_col].set(flat[:, 2].astype(jnp.int32))
-    walks = walks.at[row, tail_col].set(flat[:, 3].astype(jnp.int32))
-    return walks[:num_walkers, :width]
 
 
 def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
@@ -1056,15 +1087,14 @@ def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
         jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
     fn = _routed_triples_jit(mesh, axis, nshards, pgraph.shard_entities,
                              num_walkers, walk_length, int(padding_idx),
-                             cfg.pair_capacity, cfg.carry, cfg.log_capacity,
+                             cfg.pair_capacity, cfg.carry,
                              cfg.max_phases, exchange,
                              bool(exchange_interpret))
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_TRIPLES)),
         NamedSharding(mesh, P()))
-    logs, stats = fn(key, meta_sh, rt_sh, targets)
-    walks = _assemble_triples(logs, jnp.asarray(target_nodes, jnp.int32),
-                              num_walkers, walk_length, int(padding_idx))
+    shard_walks, stats = fn(key, meta_sh, rt_sh, targets)
+    walks = shard_walks.reshape(num_walkers, 2 * walk_length + 1)
     return walks, _routed_info(stats, _R_TRIPLES, "triples", num_walkers,
                                cfg)
 
@@ -1121,7 +1151,7 @@ class PartitionedEdgeList:
 def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
                           shard_nodes: int, num_walkers: int,
                           walk_length: int, padding_idx: int, restart: bool,
-                          cap: int, ccap: int, log_cap: int, max_phases: int,
+                          cap: int, ccap: int, max_phases: int,
                           exchange: str, exchange_interpret: bool):
     sentinel = _SENTINEL
 
@@ -1132,6 +1162,9 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
         e_max = tails.shape[0]
         blk = num_walkers // nshards
         pad = jnp.int32(padding_idx)
+
+        walks_local = jnp.full((blk + 1, walk_length + 2), pad, jnp.int32)
+        walks_local = walks_local.at[:blk, 0].set(tgt_local)
 
         wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
         t0 = tgt_local.astype(jnp.uint32)
@@ -1147,23 +1180,42 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
         outbox, carry, carry_valid, ovf0 = build_outbox(
             rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_EDGE))
 
-        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
-        log_n = jnp.int32(0)
-
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
         def phase(state):
-            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
-             phases, overflow, done) = state
+            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
+             sent_recs, phases, overflow, done) = state
             inbox = a2a(outbox)
             recs = inbox.reshape(-1, _R_EDGE)
             wid = recs[:, 0]
             arrived = wid != sentinel
-            step = recs[:, 1]
+            is_log = arrived & ((recs[:, 1] & _LOG_BIT) != 0)
+            fused = arrived & ((recs[:, 1] & _FUSE_BIT) != 0)
+            step = recs[:, 1] & ~(_LOG_BIT | _FUSE_BIT)
             v = recs[:, 2].astype(jnp.int32)
             tgt = recs[:, 3]
 
-            stepping = arrived & (step < walk_length)
+            # LOG arrivals (wid-owner).  Normal: scatter walk[step] = v and
+            # forward to owner(v).  FUSED dead-end restart: position step
+            # is the pad (pre-filled), position step+1 is the jump back to
+            # the target — scatter it and forward to owner(target).
+            wrow = jnp.where(is_log, (wid - my * blk).astype(jnp.int32),
+                             blk)
+            wcol = jnp.where(is_log, jnp.where(fused, step + 1, step),
+                             jnp.uint32(walk_length + 1)).astype(jnp.int32)
+            wval = jnp.where(fused, tgt.astype(jnp.int32), v)
+            walks_local = walks_local.at[wrow, wcol].set(wval)
+            log_n = log_n + jnp.sum(is_log.astype(jnp.int32))
+            fstep = jnp.where(fused, step + 1, step)
+            fnode = jnp.where(fused, tgt, recs[:, 2])
+            fwd_log = is_log & (fstep < walk_length)
+            done = done + jnp.sum((is_log & ~fwd_log).astype(jnp.int32))
+            rec_fwd = jnp.stack([wid, fstep, fnode, tgt], axis=1)
+            dest_fwd = jnp.clip(fnode.astype(jnp.int32) // shard_nodes, 0,
+                                nshards - 1)
+
+            # STEP arrivals (owner(v)).
+            stepping = arrived & ~is_log & (step < walk_length)
             local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
             rows = meta[local]
             start, cnt = rows[:, 0], rows[:, 1]
@@ -1183,47 +1235,33 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
             nxt = jnp.where(vpad, jump, nxt)
             s1 = step + 1
 
-            # Log position s1 for every stepping arrival.
-            n1 = jnp.sum(stepping.astype(jnp.int32))
-            pos = log_n + jnp.cumsum(stepping.astype(jnp.int32)) - 1
-            slot = jnp.where(stepping & (pos < log_cap), pos, log_cap)
-            log = log.at[slot].set(
-                jnp.stack([wid, s1, nxt.astype(jnp.uint32)], axis=1))
-            log_n = log_n + n1
-
-            # Dead end: with restart, fuse the deterministic pad -> target
-            # jump locally (log position s1+1 = target) and forward the
-            # walker straight to owner(target).
+            # Dead end with restart: fuse the deterministic pad -> target
+            # jump (positions s1 = pad and s1+1 = target hop together to
+            # the wid-owner, FUSED-flagged).  Dead end without restart (or
+            # at the last step): the pad slots are pre-filled — terminate
+            # here, nothing to log.
             dead = stepping & (nxt == pad)
-            fuse = dead & bool(restart) & (s1 < walk_length)
-            n2 = jnp.sum(fuse.astype(jnp.int32))
-            pos2 = log_n + jnp.cumsum(fuse.astype(jnp.int32)) - 1
-            slot2 = jnp.where(fuse & (pos2 < log_cap), pos2, log_cap)
-            log = log.at[slot2].set(
-                jnp.stack([wid, s1 + 1, tgt], axis=1))
-            log_n = log_n + n2
+            fuse_dep = dead & bool(restart) & (s1 < walk_length)
+            norm_dep = stepping & (nxt != pad)
+            term_here = stepping & ~fuse_dep & ~norm_dep
+            done = done + jnp.sum(term_here.astype(jnp.int32))
+            dep_flags = jnp.where(fuse_dep, _LOG_BIT | _FUSE_BIT, _LOG_BIT)
+            new_rec = jnp.stack([wid, s1 | dep_flags,
+                                 nxt.astype(jnp.uint32), tgt], axis=1)
+            dest_new = jnp.clip((wid // jnp.uint32(blk)).astype(jnp.int32),
+                                0, nshards - 1)
 
-            fwd_normal = stepping & (nxt != pad) & (s1 < walk_length)
-            fwd_fused = fuse & (s1 + 1 < walk_length)
-            forward = fwd_normal | fwd_fused
-            done = done + jnp.sum((stepping & ~forward).astype(jnp.int32))
-            fstep = jnp.where(fwd_fused, s1 + 1, s1)
-            fnode = jnp.where(fwd_fused, tgt, nxt.astype(jnp.uint32))
-            new_rec = jnp.stack([wid, fstep, fnode, tgt], axis=1)
-            new_rec = jnp.where(forward[:, None], new_rec,
-                                jnp.zeros_like(new_rec).at[:, 0].set(
-                                    sentinel))
-            dest = jnp.clip(fnode.astype(jnp.int32) // shard_nodes, 0,
-                            nshards - 1)
+            recs_out = jnp.concatenate([rec_fwd, new_rec])
+            dest_out = jnp.concatenate([dest_fwd, dest_new])
+            valid_out = jnp.concatenate([fwd_log, fuse_dep | norm_dep])
 
             outbox, carry, carry_valid, ovf = build_outbox(
-                new_rec, dest, forward, carry, carry_valid)
-            sent = (jnp.sum(forward.astype(jnp.int32))
-                    + jnp.sum(carry_valid.astype(jnp.int32)))
+                recs_out, dest_out, valid_out, carry, carry_valid)
+            sent = jnp.sum(valid_out.astype(jnp.int32))
             inflight = lax.psum(
                 jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
                 + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, log, log_n, inflight,
+            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
                     sent_recs + sent, phases + 1, overflow + ovf, done)
 
         def cond(state):
@@ -1235,16 +1273,19 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
         def varying(x):
             if exchange == "pallas":
                 return x
-            return lax.pcast(x, axis, to="varying")
+            try:
+                return lax.pcast(x, axis, to="varying")
+            except ValueError:
+                return x  # already device-varying (derived from inputs)
 
-        state = (outbox, carry, carry_valid, varying(log), varying(log_n),
-                 init_inflight, varying(jnp.int32(0)), jnp.int32(0), ovf0,
-                 varying(jnp.int32(0)))
+        state = (outbox, carry, carry_valid, varying(walks_local),
+                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
+                 jnp.int32(0), ovf0, varying(jnp.int32(0)))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, log, log_n, _, sent_recs, phases, overflow, done) = state
-        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow,
+         done) = state
         stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
-        return log[None, :log_cap], stats[None]
+        return walks_local[None, :blk, : walk_length + 1], stats[None]
 
     return jax.jit(
         jax.shard_map(
@@ -1257,21 +1298,6 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
     )
 
 
-@partial(jax.jit, static_argnames=("num_walkers", "walk_length"))
-def _assemble_edge_list(logs, targets, num_walkers, walk_length,
-                        padding_idx):
-    """Scatter (D, log_cap, 3) position logs into a pad-pre-filled
-    (B, L+1) walk tensor (absorbed steps are never logged)."""
-    flat = logs.reshape(-1, 3)
-    wid = flat[:, 0]
-    ok = wid != _SENTINEL
-    row = jnp.where(ok, wid, num_walkers).astype(jnp.int32)
-    coli = jnp.where(ok, flat[:, 1], walk_length + 1).astype(jnp.int32)
-    walks = jnp.full((num_walkers + 1, walk_length + 2), padding_idx,
-                     jnp.int32)
-    walks = walks.at[:num_walkers, 0].set(jnp.asarray(targets, jnp.int32))
-    walks = walks.at[row, coli].set(flat[:, 2].astype(jnp.int32))
-    return walks[:num_walkers, : walk_length + 1]
 
 
 def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
@@ -1305,14 +1331,13 @@ def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
     fn = _routed_edge_list_jit(mesh, axis, nshards, pgraph.shard_nodes,
                                num_walkers, walk_length, int(padding_idx),
                                bool(restart), cfg.pair_capacity, cfg.carry,
-                               cfg.log_capacity, cfg.max_phases, exchange,
+                               cfg.max_phases, exchange,
                                bool(exchange_interpret))
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_EDGE_UNIFORM)),
         NamedSharding(mesh, P()))
-    logs, stats = fn(key, meta_sh, tails_sh, targets)
-    walks = _assemble_edge_list(logs, jnp.asarray(target_nodes, jnp.int32),
-                                num_walkers, walk_length, int(padding_idx))
+    shard_walks, stats = fn(key, meta_sh, tails_sh, targets)
+    walks = shard_walks.reshape(num_walkers, walk_length + 1)
     return walks, _routed_info(stats, _R_EDGE, "edge-list", num_walkers,
                                cfg)
 
@@ -1389,7 +1414,7 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
                               walk_length: int, p: float, q: float,
                               padding_idx: int, restart: bool,
                               spec_rounds: int, hash_log: int, cap: int,
-                              ccap: int, log_cap: int, max_phases: int,
+                              ccap: int, max_phases: int,
                               exchange: str, exchange_interpret: bool):
     """Owner-routed biased edge-list walks: the _routed_n2v_jit phase
     machine with the edge-list transition law
@@ -1461,31 +1486,33 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
             _, b_acc = prng.counter_bits(key, wid, c1)
             return prng.uniform_from_bits(b_acc)
 
+        walks_local = jnp.full((blk + 1, walk_length + 2), pad, jnp.int32)
+        walks_local = walks_local.at[:blk, 0].set(tgt_local)
+
         wid0 = (my * blk + jnp.arange(blk, dtype=jnp.int32)).astype(jnp.uint32)
         z = jnp.zeros((blk,), jnp.uint32)
         zb = jnp.zeros((blk, _BLOOM_WORDS), jnp.uint32)
         rec0 = pack(wid0, z, z, tgt_local, tgt_local, z, z, z, z, z, z,
                     tgt_local, zb)
         outbox, carry, carry_valid, ovf0 = _build_outbox(
-            rec0, owner(tgt_local), jnp.ones((blk,), bool),
+            rec0, owner(tgt_local), jnp.ones((blk,), bool) & (walk_length > 0),
             *_empty_carry(nshards, ccap, _R_EL_N2V), nshards=nshards,
             cap=cap, ccap=ccap)
-
-        log = jnp.zeros((log_cap + 1, 3), jnp.uint32).at[:, 0].set(sentinel)
 
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
         def phase(state):
-            (outbox, carry, carry_valid, log, log_n, _inflight, sent_recs,
-             phases, overflow, done) = state
+            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
+             sent_recs, phases, overflow, done) = state
             inbox = a2a(outbox)
             recs = inbox.reshape(-1, _R_EL_N2V)
             wid = recs[:, 0]
             arrived = wid != sentinel
             step = recs[:, 1] & jnp.uint32(0xFFFFFF)
             flags = recs[:, 1] >> jnp.uint32(24)
-            mode_resolve = arrived & ((flags & _F_MODE) != 0)
-            mode_step = arrived & ~mode_resolve
+            mode_log = arrived & ((flags & _F_LOG) != 0)
+            mode_resolve = arrived & ~mode_log & ((flags & _F_MODE) != 0)
+            mode_step = arrived & ~mode_log & ~mode_resolve
             t = recs[:, 2].astype(jnp.int32)
             v = recs[:, 3].astype(jnp.int32)
             rnd0 = recs[:, 4]
@@ -1501,13 +1528,18 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
             s = step + 1
             jump = jnp.where(jnp.bool_(restart), tgt.astype(jnp.int32), pad)
 
-            # Log the arrival position of fresh STEP records (rnd == 0).
-            logging = mode_step & (rnd0 == 0)
-            pos = log_n + jnp.cumsum(logging.astype(jnp.int32)) - 1
-            slot = jnp.where(logging & (pos < log_cap), pos, log_cap)
-            log = log.at[slot].set(
-                jnp.stack([wid, step, recs[:, 3]], axis=1))
-            log_n = log_n + jnp.sum(logging.astype(jnp.int32))
+            # ---- LOG arrivals: we are this walker's wid-owner. ----------
+            wrow = jnp.where(mode_log, (wid - my * blk).astype(jnp.int32),
+                             blk)
+            wcol = jnp.where(mode_log, step,
+                             jnp.uint32(walk_length + 1)).astype(jnp.int32)
+            walks_local = walks_local.at[wrow, wcol].set(v)
+            log_n = log_n + jnp.sum(mode_log.astype(jnp.int32))
+            fwd_log = mode_log & (step < walk_length)
+            done = done + jnp.sum((mode_log & ~fwd_log).astype(jnp.int32))
+            rec_fwd = jnp.concatenate(
+                [recs[:, :1], step[:, None], recs[:, 2:]], axis=1)
+            dest_fwd = owner(v)
 
             # ---- STEP arrivals: draw + local classify. ------------------
             local = jnp.clip(v - my * shard_nodes, 0, shard_nodes - 1)
@@ -1601,30 +1633,25 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
             if restart:
                 absorbed = jnp.zeros(wid.shape, bool)
             else:
-                # Absorbing mode: an accepted pad value ends the walk — log
-                # the position locally and terminate (assembly pre-fills
-                # the remaining pad slots), like the routed triples engine.
+                # Absorbing mode: an accepted pad value ends the walk —
+                # terminate here; the walk shard's pad slots are
+                # pre-filled, so nothing needs logging.
                 absorbed = adv_valid & (adv_next == pad)
-            pos2 = log_n + jnp.cumsum(absorbed.astype(jnp.int32)) - 1
-            slot2 = jnp.where(absorbed & (pos2 < log_cap), pos2, log_cap)
-            log = log.at[slot2].set(
-                jnp.stack([wid, s, adv_next.astype(jnp.uint32)], axis=1))
-            log_n = log_n + jnp.sum(absorbed.astype(jnp.int32))
-            term_final = mode_step & (step >= walk_length)
-            done = done + jnp.sum((absorbed | term_final).astype(jnp.int32))
+            done = done + jnp.sum(absorbed.astype(jnp.int32))
 
             # ---- departures ---------------------------------------------
             zf = jnp.zeros_like(wid)
             forward = adv_valid & ~absorbed
             # Fresh record's t is the current v; its N(v) Bloom is local
             # here for STEP lanes (we ARE owner(v)); RESOLVE lanes shipped
-            # it in.  A just-finished walker still travels once more to log
-            # walk[L]; arrivals with step == L forward nothing.
+            # it in.  The record hops to the walker's WID-OWNER (LOG flag),
+            # which scatters walk[s] and forwards to owner(adv_next) — a
+            # just-finished walker dies there after logging walk[L].
             v_bloom_local = bloom[local]
             fresh_tb = jnp.where(mode_resolve[:, None], rec_bloom,
                                  v_bloom_local)
-            fresh = pack(wid, s, zf, v, adv_next, zf, zf, zf, zf, zf, zf,
-                         tgt, fresh_tb)
+            fresh = pack(wid, s, jnp.full_like(wid, _F_LOG), v, adv_next,
+                         zf, zf, zf, zf, zf, zf, tgt, fresh_tb)
             pend_flags = (jnp.uint32(_F_MODE)
                           | jnp.where(sc_has_a, jnp.uint32(_F_HAS_A),
                                       jnp.uint32(0))
@@ -1641,10 +1668,13 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
                        zf, zf, zf, zf, zf, tgt, rep_tb)
             rep_valid = allrej | res_fail
 
-            recs_out = jnp.concatenate([fresh, pend, rep])
+            wid_dest = jnp.clip((wid // jnp.uint32(blk)).astype(jnp.int32),
+                                0, nshards - 1)
+            recs_out = jnp.concatenate([rec_fwd, fresh, pend, rep])
             dest_out = jnp.concatenate([
-                owner(adv_next), owner(t), owner(v)])
-            valid_out = jnp.concatenate([forward, pending, rep_valid])
+                dest_fwd, wid_dest, owner(t), owner(v)])
+            valid_out = jnp.concatenate([fwd_log, forward, pending,
+                                         rep_valid])
 
             outbox, carry, carry_valid, ovf = _build_outbox(
                 recs_out, dest_out, valid_out, carry, carry_valid,
@@ -1653,7 +1683,7 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
             inflight = lax.psum(
                 jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
                 + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, log, log_n, inflight,
+            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
                     sent_recs + sent, phases + 1, overflow + ovf, done)
 
         def cond(state):
@@ -1662,18 +1692,21 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
         def varying(x):
             if exchange == "pallas":
                 return x
-            return lax.pcast(x, axis, to="varying")
+            try:
+                return lax.pcast(x, axis, to="varying")
+            except ValueError:
+                return x  # already device-varying (derived from inputs)
 
         init_inflight = lax.psum(
             jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
-        state = (outbox, carry, carry_valid, varying(log),
+        state = (outbox, carry, carry_valid, varying(walks_local),
                  varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
                  jnp.int32(0), ovf0, varying(jnp.int32(0)))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, log, log_n, _, sent_recs, phases, overflow, done) = state
-        overflow = overflow + jnp.maximum(log_n - log_cap, 0)
+        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow,
+         done) = state
         stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
-        return log[None, :log_cap], stats[None]
+        return walks_local[None, :blk, : walk_length + 1], stats[None]
 
     return jax.jit(
         jax.shard_map(
@@ -1732,14 +1765,13 @@ def walk_edge_list_node2vec_partitioned_routed(
         mesh, axis, nshards, pgraph.shard_nodes, num_walkers, walk_length,
         float(p), float(q), int(padding_idx), bool(restart),
         int(spec_rounds), int(hash_log), cfg.pair_capacity, cfg.carry,
-        cfg.log_capacity, cfg.max_phases, exchange, bool(exchange_interpret))
+        cfg.max_phases, exchange, bool(exchange_interpret))
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_EDGE_BIASED)),
         NamedSharding(mesh, P()))
-    logs, stats = fn(key, meta_sh, tails_sh, ht_sh, salts_sh, bloom_sh,
-                     targets)
-    walks = _assemble_edge_list(logs, jnp.asarray(target_nodes, jnp.int32),
-                                num_walkers, walk_length, int(padding_idx))
+    shard_walks, stats = fn(key, meta_sh, tails_sh, ht_sh, salts_sh,
+                            bloom_sh, targets)
+    walks = shard_walks.reshape(num_walkers, walk_length + 1)
     info = _routed_info(stats, _R_EL_N2V, "edge-list-node2vec", num_walkers,
                         cfg)
     info["collectives_per_step"] = round(
