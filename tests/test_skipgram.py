@@ -1,5 +1,6 @@
 import networkx as nx
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import torch_random_walk_tpu as trw
@@ -244,3 +245,41 @@ class TestSparseAdam:
         neg = jnp.zeros((2,), jnp.int32)
         with pytest.raises(ValueError, match="learning_rate"):
             model.walk_train_step_sparse(params, opt_state, walks, neg, 3, 2)
+
+
+class TestScatterRows:
+    """scatter_rows == table.at[ids].set for sorted-unique OOB-padded ids,
+    across the narrow-row (D < 128) grouped path and the plain path."""
+
+    @pytest.mark.parametrize("n,d", [(64, 64), (64, 32), (65, 64), (40, 128),
+                                     (64, 48)])
+    def test_matches_plain_scatter(self, n, d):
+        from torch_random_walk_tpu.models.skipgram import scatter_rows
+
+        rng = np.random.default_rng(3 + n + d)
+        table = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        for k in (1, 7, n // 2, n):
+            ids_np = np.sort(rng.choice(n, size=k, replace=False))
+            pad = np.full(5, n)
+            ids = jnp.asarray(np.concatenate([ids_np, pad]), jnp.int32)
+            rows = jnp.asarray(rng.normal(size=(k + 5, d)), jnp.float32)
+            want = table.at[ids].set(rows, mode="drop",
+                                     indices_are_sorted=True,
+                                     unique_indices=True)
+            got = scatter_rows(table, ids, rows)
+            np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    def test_adjacent_ids_same_group(self):
+        """Both members of one group updated in the same call (the run-merge
+        path) and a group where only one member is updated."""
+        from torch_random_walk_tpu.models.skipgram import scatter_rows
+
+        n, d = 8, 64  # g = 2
+        table = jnp.zeros((n, d), jnp.float32)
+        ids = jnp.asarray([2, 3, 6, n, n], jnp.int32)
+        rows = jnp.stack([jnp.full((d,), v, jnp.float32)
+                          for v in (1.0, 2.0, 3.0, 9.0, 9.0)])
+        got = np.asarray(scatter_rows(table, ids, rows))
+        assert (got[2] == 1.0).all() and (got[3] == 2.0).all()
+        assert (got[6] == 3.0).all() and (got[7] == 0.0).all()
+        assert (got[[0, 1, 4, 5]] == 0.0).all()

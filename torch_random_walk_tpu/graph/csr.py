@@ -145,6 +145,20 @@ class CSRGraph:
                 edge_tab = jnp.asarray(et)
                 node_tab = jnp.asarray(nt)
             else:
+                # LOUD fallback (VERDICT r2 item 5): the scalar-gather path
+                # is ~3x slower, and >= 2^31-edge graphs should go through
+                # the partitioned engines (parallel/partition_v2.py)
+                # instead of silently degrading on one chip.
+                import warnings
+
+                warnings.warn(
+                    f"fat tables disabled: packed fields "
+                    f"(node={layout.node_bits}b, start={layout.start_bits}b,"
+                    f" deg={layout.deg_bits}b) exceed the 2x32-bit row — "
+                    f"walks fall back to the ~3x-slower scalar-gather path."
+                    f" For graphs past 2^31 edges use the partitioned "
+                    f"engines (PartitionedCSR + walk_partitioned_*).",
+                    stacklevel=2)
                 layout = None
         return cls(
             row_ptr=jnp.asarray(row_ptr.astype(dtype)),

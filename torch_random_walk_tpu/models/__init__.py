@@ -8,6 +8,8 @@ from torch_random_walk_tpu.models.kge import (
 )
 from torch_random_walk_tpu.models.eval import (
     link_prediction_auc,
+    link_prediction_auc_trained,
+    sbm_oracle_auc,
     node_classification_accuracy,
     sample_negative_edges,
     kg_tail_ranking_metrics,
@@ -22,6 +24,8 @@ __all__ = [
     "KGEmbedding",
     "KGEmbeddingConfig",
     "link_prediction_auc",
+    "link_prediction_auc_trained",
+    "sbm_oracle_auc",
     "node_classification_accuracy",
     "sample_negative_edges",
     "kg_tail_ranking_metrics",

@@ -37,6 +37,69 @@ def link_prediction_auc(embeddings, pos_edges, neg_edges,
                  / (len(pos) * len(neg)))
 
 
+def link_prediction_auc_trained(embeddings, train_edges, test_pos, test_neg,
+                                num_nodes: int, seed: int = 0,
+                                iters: int = 300, lr: float = 0.5,
+                                l2: float = 1e-4) -> float:
+    """The node2vec paper's link-prediction protocol (Grover & Leskovec
+    2016 §4.3): edges become HADAMARD features emb[u] * emb[v], a logistic
+    classifier is TRAINED on the training edges vs an equal number of
+    sampled non-edges, and AUC is measured on the held-out positives vs
+    negatives.  The raw-cosine score (link_prediction_auc) has no trained
+    readout and systematically underestimates the published numbers — the
+    published 0.85-0.95 Cora band is measured with a trained edge
+    classifier, not raw similarity.
+    """
+    rng = np.random.default_rng(seed)
+    emb = np.asarray(embeddings, np.float64)
+    emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    train_edges = np.asarray(train_edges)
+    known = np.concatenate([train_edges, np.asarray(test_pos)])
+    train_neg = sample_negative_edges(num_nodes, known, len(train_edges),
+                                      seed=seed + 17)
+
+    def feats(edges):
+        e = np.asarray(edges)
+        return emb[e[:, 0]] * emb[e[:, 1]]
+
+    x = np.concatenate([feats(train_edges), feats(train_neg)])
+    y = np.concatenate([np.ones(len(train_edges)), np.zeros(len(train_neg))])
+    perm = rng.permutation(len(x))
+    x, y = x[perm], y[perm]
+    w = np.zeros(x.shape[1])
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        g = (p - y) / len(x)
+        w -= lr * (x.T @ g + l2 * w)
+        b -= lr * g.sum()
+    sp = feats(test_pos) @ w
+    sn = feats(test_neg) @ w
+    all_scores = np.concatenate([sp, sn])
+    ranks = all_scores.argsort().argsort()[: len(sp)] + 1
+    return float((ranks.sum() - len(sp) * (len(sp) + 1) / 2)
+                 / (len(sp) * len(sn)))
+
+
+def sbm_oracle_auc(labels, test_pos, test_neg) -> float:
+    """Information ceiling of link prediction on a stochastic block model:
+    within a block, edges are iid — NO method can rank a held-out
+    within-block edge above a within-block non-edge, so the best possible
+    score is the same-block indicator (ties count half).  Reporting this
+    next to the embedding AUC shows how much of the SBM proxy's headroom
+    the embeddings capture (VERDICT r2 item 7: the 0.61 diagnosis)."""
+    y = np.asarray(labels)
+
+    def same(edges):
+        e = np.asarray(edges)
+        return (y[e[:, 0]] == y[e[:, 1]]).astype(np.float64)
+
+    sp, sn = same(test_pos), same(test_neg)
+    wins = sp[:, None] > sn[None, :]
+    ties = sp[:, None] == sn[None, :]
+    return float((wins.sum() + 0.5 * ties.sum()) / (len(sp) * len(sn)))
+
+
 def sample_negative_edges(num_nodes: int, pos_edges, k: int,
                           seed: int = 0) -> np.ndarray:
     """k (u, v) pairs not present in pos_edges (and u != v)."""

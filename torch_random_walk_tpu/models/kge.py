@@ -364,10 +364,11 @@ class KGEModel:
             nu_hat = nu_new / (1.0 - self.b2 ** c)
             upd = self.learning_rate * mu_hat / (jnp.sqrt(nu_hat) + self.eps)
             rows = (sub.astype(jnp.float32) - upd).astype(params[name].dtype)
-            kw = dict(mode="drop", indices_are_sorted=True)
-            params[name] = params[name].at[ids].set(rows, **kw)
-            mu[name] = mu[name].at[ids].set(mu_new, **kw)
-            nu[name] = nu[name].at[ids].set(nu_new, **kw)
+            from torch_random_walk_tpu.models.skipgram import scatter_rows
+
+            params[name] = scatter_rows(params[name], ids, rows)
+            mu[name] = scatter_rows(mu[name], ids, mu_new)
+            nu[name] = scatter_rows(nu[name], ids, nu_new)
         return params, {"mu": mu, "nu": nu, "count": count}, loss
 
     @partial(jax.jit, static_argnums=(0, 6))

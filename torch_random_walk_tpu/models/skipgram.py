@@ -49,6 +49,49 @@ def sorted_unique_with_locations(x_flat, oob: int):
     return uids, loc
 
 
+def scatter_rows(table, ids, rows):
+    """``table.at[ids].set(rows)`` for SORTED-UNIQUE ids padded with
+    ``oob == table.shape[0]`` at the tail (dropped) — routed around the TPU
+    narrow-row scatter cliff.
+
+    Measured (v5e, 1.1M rows): (N, 128) tables scatter at 50-75M rows/s,
+    but (N>=2M, 64) collapses to ~5M rows/s — scatters of rows narrower
+    than the 128-element vector lane fall off the fast path on large
+    tables.  When D < 128 (and divides it), scatter through a
+    (N/g, g*D) grouped view instead: gather each touched GROUP row, blend
+    every group member's new lanes in (ids are sorted, so a group's
+    entries are consecutive; each entry merges its neighbors' lanes too,
+    making duplicate group writes carry identical rows), and scatter the
+    128-wide merged rows.  ~5x faster at D=64 despite the extra gather.
+    """
+    n, d = table.shape
+    g = 128 // d if (d < 128 and 128 % d == 0) else 1
+    if g == 1 or n % g:
+        return table.at[ids].set(rows, mode="drop", indices_are_sorted=True,
+                                 unique_indices=True)
+    view = table.reshape(n // g, g * d)
+    valid = ids < n
+    pid = jnp.minimum(ids, n) // g
+    slot = ids % g
+    group = jnp.where(valid[:, None], view[jnp.minimum(pid, n // g - 1)], 0)
+    lane = jnp.repeat(jnp.arange(g)[None, :] == slot[:, None], d, axis=1)
+    tiled = jnp.tile(rows, (1, g))
+    merged = jnp.where(lane, tiled, group)
+    for s in range(1, g):
+        for sign in (1, -1):
+            off = sign * s
+            nb_same = jnp.roll(pid, off) == pid
+            nb_valid = jnp.roll(valid, off)
+            edge = jnp.arange(ids.shape[0])
+            inside = (edge >= s) if sign == 1 else (edge < ids.shape[0] - s)
+            take = (nb_same & nb_valid & valid & inside)[:, None]
+            merged = jnp.where(take & jnp.roll(lane, off, axis=0),
+                               jnp.roll(tiled, off, axis=0), merged)
+    write = jnp.where(valid, pid, n // g)
+    out = view.at[write].set(merged, mode="drop", indices_are_sorted=True)
+    return out.reshape(n, d)
+
+
 def shared_negative_ids(seed, num: int, num_nodes: int):
     """S uniform negative node ids from the (seed, STREAM_TRAIN) threefry
     stream — full-range via multiply-high (valid past 2^24 ids), and a pure
@@ -273,11 +316,11 @@ class SkipGramModel:
             # ``sub`` already holds the gathered param rows — no second
             # M-row gather for the update.
             rows = (sub.astype(jnp.float32) - upd).astype(params[name].dtype)
-            # ids are sorted with the OOB pads (== n) at the tail.
-            kw = dict(mode="drop", indices_are_sorted=True)
-            params[name] = params[name].at[ids].set(rows, **kw)
-            mu[name] = mu[name].at[ids].set(mu_new, **kw)
-            nu[name] = nu[name].at[ids].set(nu_new, **kw)
+            # ids are sorted with the OOB pads (== n) at the tail;
+            # scatter_rows routes around the narrow-row scatter cliff.
+            params[name] = scatter_rows(params[name], ids, rows)
+            mu[name] = scatter_rows(mu[name], ids, mu_new)
+            nu[name] = scatter_rows(nu[name], ids, nu_new)
         return params, {"mu": mu, "nu": nu, "count": count}, loss
 
     @staticmethod

@@ -62,9 +62,11 @@ class RoutedConfig:
     """Static capacities for the routed exchange.
 
     pair_capacity: records one shard may send one destination per phase.
-    carry_capacity: per-destination retained-record slots for departures that
-        exceeded pair_capacity (they retransmit next phase; sized so extreme
-        hot spots queue instead of dropping).
+    carry_capacity: shared carry-pool slots for departures that exceeded
+        their destination's pair_capacity (they retransmit next phase,
+        FIFO).  Every walker is at most one record in flight, so a pool of
+        B slots guarantees zero-drop against any skew — O(B) memory,
+        independent of the shard count.
     max_phases: while_loop bound (~2(L+1) plus carry slack: every step is a
         draw phase at owner(v) plus a log phase at the walker's WID-OWNER,
         where its (blk, L+1) walk shard lives).
@@ -103,7 +105,7 @@ class RoutedConfig:
         drain = (num_walkers + pair - 1) // pair
         return cls(pair_capacity=pair,
                    max_phases=(2 * walk_length + 4) * max(4, drain),
-                   carry_capacity=max(num_walkers - pair, pair))
+                   carry_capacity=num_walkers)
 
 
 def _biased_phase_budget(cfg: "RoutedConfig", walk_length: int,
@@ -144,30 +146,48 @@ _SENTINEL = np.uint32(0xFFFFFFFF)
 def _build_outbox(recs, dests, valid, carry, carry_valid, nshards, cap, ccap):
     """Compact departure records into per-destination (D, cap) exchange
     buffers, carried-over records first (FIFO: no starvation); departures
-    beyond cap go to the (D, ccap) carry buffer for the next phase.
-    Returns (outbox, carry, carry_valid, overflow_count)."""
+    beyond a destination's cap go to ONE SHARED carry pool of ``ccap``
+    slots for the next phase (the pool keeps each record's destination in
+    an extra trailing column).
+
+    A shared pool instead of per-destination buffers (r3): every walker is
+    at most one record in flight, so ``ccap >= B`` guarantees zero-drop
+    against ANY skew — while the old (D, ccap) carry needed ccap ~ B per
+    destination, costing O(D*B) memory AND an O(D^2*B) per-phase scan (the
+    dominant term of the D=8 virtual-mesh scaling curve, and ~3.6 GB/shard
+    at B=1M, D=64).
+
+    Returns (outbox (D, cap, R), carry (ccap, R+1), carry_valid (ccap,),
+    overflow_count)."""
     width = recs.shape[-1]
-    all_recs = jnp.concatenate([carry.reshape(-1, width), recs])
-    all_dest = jnp.concatenate([
-        jnp.repeat(jnp.arange(nshards, dtype=jnp.int32), ccap), dests])
-    all_valid = jnp.concatenate([carry_valid.reshape(-1), valid])
+    all_recs = jnp.concatenate([carry[:, :width], recs])
+    all_dest = jnp.concatenate([carry[:, width].astype(jnp.int32), dests])
+    all_valid = jnp.concatenate([carry_valid, valid])
     n_all = all_recs.shape[0]
     pad_rec = jnp.zeros((1, width), jnp.uint32).at[0, 0].set(_SENTINEL)
     recs_pad = jnp.concatenate([all_recs, pad_rec])
-    out, new_carry = [], []
-    overflow = jnp.int32(0)
+    out = []
+    shipped = jnp.zeros((n_all,), bool)
     for d in range(nshards):
         want = all_valid & (all_dest == d)
-        idx = _compact_idx(want, cap + ccap)
+        pos = jnp.cumsum(want.astype(jnp.int32)) - 1
+        take = want & (pos < cap)
+        idx = _compact_idx(want, cap)
         got = recs_pad[jnp.minimum(idx, n_all)]
         got = jnp.where((idx < n_all)[:, None], got, pad_rec)
-        out.append(got[:cap])
-        new_carry.append(got[cap:])
-        overflow += jnp.maximum(
-            jnp.sum(want.astype(jnp.int32)) - (cap + ccap), 0)
+        out.append(got)
+        shipped = shipped | take
     outbox = jnp.stack(out)
-    carry_buf = jnp.stack(new_carry)
-    return outbox, carry_buf, carry_buf[:, :, 0] != _SENTINEL, overflow
+    left = all_valid & ~shipped
+    overflow = jnp.maximum(jnp.sum(left.astype(jnp.int32)) - ccap, 0)
+    lidx = _compact_idx(left, ccap)
+    safe = jnp.minimum(lidx, n_all)
+    ok = lidx < n_all
+    carry_rec = jnp.where(ok[:, None], recs_pad[safe], pad_rec)
+    carry_dest = jnp.where(ok, all_dest[jnp.minimum(lidx, n_all - 1)],
+                           0).astype(jnp.uint32)
+    carry_buf = jnp.concatenate([carry_rec, carry_dest[:, None]], axis=1)
+    return outbox, carry_buf, ok, overflow
 
 
 def _check_complete(info, num_walkers: int, walk_length: int,
@@ -185,8 +205,12 @@ def _check_complete(info, num_walkers: int, walk_length: int,
 
 
 def _empty_carry(nshards, ccap, width):
-    carry = jnp.zeros((nshards, ccap, width), jnp.uint32)
-    return carry.at[:, :, 0].set(_SENTINEL), jnp.zeros((nshards, ccap), bool)
+    """Shared carry pool: (ccap, width+1) records (last column = stored
+    destination) + validity mask.  ``nshards`` kept for signature
+    compatibility (the pool is destination-agnostic)."""
+    del nshards
+    carry = jnp.zeros((ccap, width + 1), jnp.uint32)
+    return carry.at[:, 0].set(_SENTINEL), jnp.zeros((ccap,), bool)
 
 
 def _make_a2a(exchange: str, axis: str, nshards: int, interpret: bool):
