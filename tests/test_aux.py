@@ -117,3 +117,43 @@ class TestMetrics:
         lines = [json.loads(line) for line in open(path)]
         assert [r["step"] for r in lines] == [1, 2]
         assert all("ts" in r for r in lines)
+
+
+class TestCompactIndices:
+    """ops/common.py::compact_indices — the single shared compaction
+    primitive behind the straggler drain and the routed exchange
+    (VERDICT r3 #8).  Zero-drop contract: every True lane with rank <
+    capacity is selected, ascending; everything else pads with len(mask)."""
+
+    def test_basic_selection_order_and_padding(self):
+        from torch_random_walk_tpu.ops.common import compact_indices
+
+        mask = jnp.array([False, True, True, False, True, False, True])
+        out = np.asarray(compact_indices(mask, 3))
+        np.testing.assert_array_equal(out, [1, 2, 4])
+        out = np.asarray(compact_indices(mask, 6))
+        np.testing.assert_array_equal(out, [1, 2, 4, 6, 7, 7])
+
+    def test_overflow_truncates_at_capacity(self):
+        from torch_random_walk_tpu.ops.common import compact_indices
+
+        mask = jnp.ones((8,), bool)
+        out = np.asarray(compact_indices(mask, 4))
+        np.testing.assert_array_equal(out, [0, 1, 2, 3])
+
+    def test_empty_mask_all_padding(self):
+        from torch_random_walk_tpu.ops.common import compact_indices
+
+        out = np.asarray(compact_indices(jnp.zeros((5,), bool), 3))
+        np.testing.assert_array_equal(out, [5, 5, 5])
+
+    def test_random_against_numpy_oracle(self):
+        from torch_random_walk_tpu.ops.common import compact_indices
+
+        rng = np.random.default_rng(0)
+        for cap in (1, 7, 128, 1000):
+            mask = rng.random(1000) < 0.3
+            want = np.flatnonzero(mask)[:cap]
+            got = np.asarray(compact_indices(jnp.asarray(mask), cap))
+            np.testing.assert_array_equal(got[: len(want)], want)
+            assert (got[len(want):] == 1000).all()

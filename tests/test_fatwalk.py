@@ -546,3 +546,53 @@ class TestShardingDeterminism:
                                        targets[128:], walker_offset=128, **kw)
         np.testing.assert_array_equal(
             np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
+
+
+class TestDrainBudgetPoison:
+    """Exhausting the freerun drain budget must be LOUD, not a silent
+    truncation (ADVICE r3): walks that could not finish within max_rounds
+    carry -1 in their final position; every non-poisoned walk stays
+    bit-identical to the jnp reference."""
+
+    def test_exhausted_budget_poisons_final_position(self):
+        from torch_random_walk_tpu.ops.node2vec import (
+            node2vec_walk_csr_mixture,
+        )
+        from torch_random_walk_tpu.ops.walk import fat6_for
+
+        g = random_graph(400, 6, seed=71)
+        es = edge_set_for(g)
+        targets = jnp.arange(4096, dtype=jnp.int32) % g.num_nodes
+        length = 12
+        fat6 = fat6_for(g)
+        ref = node2vec_walk_csr_mixture(g.row_ptr, g.col_idx, targets, 0.5,
+                                        2.0, length, 7, g.layout.deg_bits,
+                                        search_iters=g.search_iters)
+        # slack ~0 collapses the main scan phase; max_rounds=1 leaves a
+        # drain budget far below what a length-12 walk needs.
+        starved = fatwalk._node2vec_freerun(
+            fat6[0], fat6[1], es.table, targets, FatMeta.of(g), es.log_size,
+            es.salt, 0.5, 2.0, length, seed=7, max_rounds=1, slack=0.01)
+        starved = np.asarray(starved)
+        poisoned = starved[:, length] == -1
+        assert poisoned.any(), "starved run should have unfinished walks"
+        np.testing.assert_array_equal(starved[~poisoned],
+                                      np.asarray(ref)[~poisoned])
+
+    def test_default_budget_never_poisons(self):
+        from torch_random_walk_tpu.ops.node2vec import (
+            node2vec_walk_csr_mixture,
+        )
+        from torch_random_walk_tpu.ops.walk import fat6_for
+
+        g = random_graph(400, 6, seed=72)
+        es = edge_set_for(g)
+        targets = jnp.arange(4096, dtype=jnp.int32) % g.num_nodes
+        fat6 = fat6_for(g)
+        ref = node2vec_walk_csr_mixture(g.row_ptr, g.col_idx, targets, 0.5,
+                                        2.0, 12, 8, g.layout.deg_bits,
+                                        search_iters=g.search_iters)
+        full = fatwalk._node2vec_freerun(
+            fat6[0], fat6[1], es.table, targets, FatMeta.of(g), es.log_size,
+            es.salt, 0.5, 2.0, 12, seed=8)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(full))

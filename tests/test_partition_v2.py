@@ -540,3 +540,40 @@ def test_large_batch_hub_skew_carry_engages(mesh):
     # and the run takes more than the no-carry phase count.
     assert info["phases"] > 2 * (length + 1), info
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
+
+
+class TestConfigResolve:
+    """Directly-constructed configs default max_phases to 0; ADVICE r3:
+    treat 0 as "auto" (derive the for_walk worst-case-carry bound from the
+    config's own pair_capacity) instead of building a while_loop that never
+    runs and blaming capacities."""
+
+    def test_zero_max_phases_resolves_to_usable_budget(self):
+        cfg = RoutedConfig(pair_capacity=128)
+        r = RoutedConfig.resolve(cfg, 512, 8, 20)
+        assert r.max_phases > 0
+        assert r.pair_capacity == 128      # overrides preserved
+        # Budget covers worst-case carry: 2 phases/step plus drain slack.
+        assert r.max_phases >= 2 * 20 + 4
+
+    def test_explicit_max_phases_kept(self):
+        cfg = RoutedConfig(pair_capacity=128, max_phases=7)
+        assert RoutedConfig.resolve(cfg, 512, 8, 20) is cfg
+
+    def test_none_gives_for_walk_default(self):
+        r = RoutedConfig.resolve(None, 512, 8, 20)
+        assert r == RoutedConfig.for_walk(512, 8, 20)
+
+    def test_zero_budget_walk_runs(self, mesh):
+        """An end-to-end walk with a hand-built capacity-only config (the
+        pattern every test above uses, minus the manual max_phases) must
+        complete instead of raising an incomplete-walk error."""
+        g = random_graph(1000, 5, seed=42)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        cfg = RoutedConfig(pair_capacity=512, carry_capacity=512)
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 8, seed=3)
+        walks, info = walk_partitioned_routed(pg, targets, mesh, 8, seed=3,
+                                              config=cfg)
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))

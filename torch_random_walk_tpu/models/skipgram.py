@@ -36,8 +36,8 @@ def sorted_unique_with_locations(x_flat, oob: int):
     Returns (uids (k,) with unused slots == oob, loc (k,) int32) such that
     ``uids[loc] == x_flat`` and uids' occupied prefix is sorted unique.
     """
-    k = x_flat.shape[0]
     x_flat = x_flat.ravel()
+    k = x_flat.shape[0]
     sx, order = lax.sort((x_flat, jnp.arange(k, dtype=jnp.int32)),
                          num_keys=1)
     first = jnp.concatenate([jnp.ones((1,), bool), sx[1:] != sx[:-1]])

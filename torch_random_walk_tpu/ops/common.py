@@ -24,6 +24,25 @@ DEFAULT_SEARCH_ITERS = 32
 DEFAULT_MAX_ROUNDS = 4096
 
 
+def compact_indices(mask, capacity: int):
+    """Indices of the first ``capacity`` True lanes of ``mask``, padded with
+    the sentinel ``mask.shape[0]``.
+
+    One cumsum + one scatter — THE compaction primitive of the framework:
+    the single-chip straggler drain (ops/fatwalk.py) and the routed-exchange
+    outbox/carry builder (parallel/partition_v2.py) both address records
+    through it, so its zero-drop property (every True lane with rank <
+    capacity is selected, in order) is safety-critical and pinned by
+    tests/test_aux.py::test_compact_indices.
+    """
+    num = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    write = jnp.where(mask & (pos < capacity), pos, capacity)
+    buf = jnp.full((capacity + 1,), num, jnp.int32)
+    buf = buf.at[write].set(jnp.arange(num, dtype=jnp.int32))
+    return buf[:capacity]
+
+
 def sample_csr_neighbor(row_ptr, col_idx, cur, bits):
     """Vectorized uniform neighbor draw over CSR rows.
 

@@ -114,16 +114,9 @@ def _edge_set_contains(hash_table, hash_log_size, hash_salt, u, v):
     return hit
 
 
-def _compact(mask, capacity: int):
-    """Indices of the first ``capacity`` True lanes of ``mask`` (B-sentinel
-    padded).  One cumsum + one scatter — the straggler-compaction primitive.
-    """
-    num = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    write = jnp.where(mask & (pos < capacity), pos, capacity)
-    buf = jnp.full((capacity + 1,), num, jnp.int32)
-    buf = buf.at[write].set(jnp.arange(num, dtype=jnp.int32))
-    return buf[:capacity]
+# The straggler-compaction primitive, shared with the routed exchange
+# (ops/common.py::compact_indices — single implementation, VERDICT r3 #8).
+_compact = common.compact_indices
 
 
 
@@ -515,10 +508,26 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         """Compact the active lanes of ``st`` into a c-lane level.  Padding
         lanes clone the last real lane (reads are safe; writes go to the
         OOB row / junk column and drop) and are marked done (step=length)
-        so they never participate."""
+        so they never participate.
+
+        Loud incompleteness (ADVICE r3): if the drain budget was exhausted
+        while more than ``c`` lanes are still active, the overflow lanes
+        can no longer be tracked — their walk rows get ``-1`` scattered
+        into the final position instead of being silently truncated (the
+        single-chip analog of the routed engines' completeness check; when
+        nothing overflows every poison index is out of bounds and the
+        scatter is a no-op, preserving bit-identity)."""
         t_row, v_row, step, rnd, frozen, walks = st
         size = step.shape[0]
-        idx = _compact(step < length, c)
+        active = step < length
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        lost = active & (rank >= c)
+        g_all = (jnp.arange(size, dtype=jnp.int32) if ids_rows is None
+                 else ids_rows)
+        walks = walks.at[
+            jnp.where(lost, jnp.minimum(g_all, num_walkers), num_walkers),
+            length].set(-1, mode="drop")
+        idx = _compact(active, c)
         safe = jnp.minimum(idx, size - 1)
         act = idx < size
         src_rows = idx if ids_rows is None else ids_rows[safe]
@@ -557,7 +566,18 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     state, _ = lax.while_loop(
         final_cond, lambda carry: (block(carry[0], **last_kw), carry[1] + 1),
         (state, jnp.int32(0)))
-    return state[5][:, : length + 1]
+    # Budget exhausted with lanes still unfinished (only possible when the
+    # caller shrinks max_rounds far below DEFAULT_MAX_ROUNDS): poison their
+    # final position with -1 — same loud-incompleteness contract as
+    # compact_level above.  No-op (all indices OOB) on complete runs.
+    step_f, walks_f = state[2], state[5]
+    size_f = step_f.shape[0]
+    g_f = (jnp.arange(size_f, dtype=jnp.int32) if cur_ids is None
+           else cur_ids)
+    walks_f = walks_f.at[
+        jnp.where(step_f < length, jnp.minimum(g_f, num_walkers),
+                  num_walkers), length].set(-1, mode="drop")
+    return walks_f[:, : length + 1]
 
 
 def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from torch_random_walk_tpu.ops.common import compact_indices as _compact_idx
 from torch_random_walk_tpu.parallel.partition import PartitionedCSR
 from torch_random_walk_tpu.utils import prng
 
@@ -107,6 +108,25 @@ class RoutedConfig:
                    max_phases=(2 * walk_length + 4) * max(4, drain),
                    carry_capacity=num_walkers)
 
+    @classmethod
+    def resolve(cls, config: "RoutedConfig | None", num_walkers: int,
+                num_shards: int, walk_length: int) -> "RoutedConfig":
+        """Fill in a usable phase budget for a hand-built config.
+
+        ``max_phases`` defaults to 0 on direct construction (the pattern
+        every test uses for capacity overrides); left at 0 it would build a
+        while_loop that never runs and blame capacities in the
+        incomplete-walk error.  Treat 0 as "auto": derive the same
+        worst-case-carry bound ``for_walk`` uses, from the config's OWN
+        pair_capacity."""
+        if config is None:
+            return cls.for_walk(num_walkers, num_shards, walk_length)
+        if config.max_phases > 0:
+            return config
+        drain = (num_walkers + config.pair_capacity - 1) // config.pair_capacity
+        return dataclasses.replace(
+            config, max_phases=(2 * walk_length + 4) * max(4, drain))
+
 
 def _biased_phase_budget(cfg: "RoutedConfig", walk_length: int,
                          spec_rounds: int) -> "RoutedConfig":
@@ -127,14 +147,24 @@ def _biased_phase_budget(cfg: "RoutedConfig", walk_length: int,
     return dataclasses.replace(cfg, max_phases=need)
 
 
-def _compact_idx(mask, capacity: int):
-    """First `capacity` indices where mask is True; padded with len(mask)."""
-    num = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    write = jnp.where(mask & (pos < capacity), pos, capacity)
-    buf = jnp.full((capacity + 1,), num, jnp.int32)
-    buf = buf.at[write].set(jnp.arange(num, dtype=jnp.int32))
-    return buf[:capacity]
+# _compact_idx (first `capacity` True indices, len(mask)-padded) is imported
+# from ops/common.py::compact_indices — single implementation shared with
+# the single-chip straggler drain (VERDICT r3 #8).
+
+
+def _to_varying(x, axis: str, exchange: str):
+    """pcast a device-invariant while-carry value to varying.
+
+    No-op when the value is ALREADY device-varying (queried from its VMA
+    state rather than swallowing pcast's ValueError, which could mask
+    unrelated pcast failures) or under the Pallas exchange, whose shard_map
+    runs with check_vma=False.
+    """
+    if exchange == "pallas":
+        return x
+    if axis in jax.typeof(x).vma:
+        return x
+    return lax.pcast(x, axis, to="varying")
 
 
 # np (not jnp): a module-level jnp constant would initialize the XLA
@@ -348,13 +378,7 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
         def varying(x):
             # The while carry must have consistent device-variance types:
             # these start identical on every shard but diverge in the body.
-            # (No-op under check_vma=False, i.e. the Pallas exchange.)
-            if exchange == "pallas":
-                return x
-            try:
-                return lax.pcast(x, axis, to="varying")
-            except ValueError:
-                return x  # already device-varying (derived from inputs)
+            return _to_varying(x, axis, exchange)
 
         state = (outbox, carry, carry_valid, varying(walks_local),
                  varying(log_n), init_inflight, varying(jnp.int32(0)),
@@ -394,7 +418,7 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         raise ValueError(
             f"num_walkers ({num_walkers}) must be divisible by the shard "
             f"count ({nshards}); pad the target batch.")
-    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    cfg = RoutedConfig.resolve(config, num_walkers, nshards, walk_length)
     meta_sh, col_sh = pgraph.device_put(mesh, axis)
     targets = jax.device_put(
         jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
@@ -495,8 +519,8 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
         raise ValueError(
             f"num_walkers ({num_walkers}) must be divisible by the shard "
             f"count ({nshards}); pad the target batch.")
-    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
-    if config is None:
+    cfg = RoutedConfig.resolve(config, num_walkers, nshards, walk_length)
+    if config is None or config.max_phases <= 0:
         cfg = _biased_phase_budget(cfg, walk_length, spec_rounds)
     hash_tables, hash_salts, hash_log = hashes
 
@@ -795,12 +819,7 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
             return jnp.logical_and(state[5] > 0, state[7] < max_phases)
 
         def varying(x):
-            if exchange == "pallas":
-                return x
-            try:
-                return lax.pcast(x, axis, to="varying")
-            except ValueError:
-                return x  # already device-varying (derived from inputs)
+            return _to_varying(x, axis, exchange)
 
         init_inflight = lax.psum(
             jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
@@ -1052,12 +1071,7 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
             jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
 
         def varying(x):
-            if exchange == "pallas":
-                return x
-            try:
-                return lax.pcast(x, axis, to="varying")
-            except ValueError:
-                return x  # already device-varying (derived from inputs)
+            return _to_varying(x, axis, exchange)
 
         state = (outbox, carry, carry_valid, varying(walks_local),
                  varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
@@ -1105,7 +1119,7 @@ def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
         return walks, {"log_entries": 0, "exchanged_records": 0,
                        "phases": 0, "overflow_dropped": 0,
                        "terminated": num_walkers, "exchange_bytes": 0}
-    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    cfg = RoutedConfig.resolve(config, num_walkers, nshards, walk_length)
     meta_sh, rt_sh = pgraph.device_put(mesh, axis)
     targets = jax.device_put(
         jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
@@ -1295,12 +1309,7 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
             jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
 
         def varying(x):
-            if exchange == "pallas":
-                return x
-            try:
-                return lax.pcast(x, axis, to="varying")
-            except ValueError:
-                return x  # already device-varying (derived from inputs)
+            return _to_varying(x, axis, exchange)
 
         state = (outbox, carry, carry_valid, varying(walks_local),
                  varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
@@ -1348,7 +1357,7 @@ def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
         return walks, {"log_entries": 0, "exchanged_records": 0,
                        "phases": 0, "overflow_dropped": 0,
                        "terminated": num_walkers, "exchange_bytes": 0}
-    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
+    cfg = RoutedConfig.resolve(config, num_walkers, nshards, walk_length)
     meta_sh, tails_sh = pgraph.device_put(mesh, axis)
     targets = jax.device_put(
         jnp.asarray(target_nodes, jnp.int32), NamedSharding(mesh, P(axis)))
@@ -1714,12 +1723,7 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
             return jnp.logical_and(state[5] > 0, state[7] < max_phases)
 
         def varying(x):
-            if exchange == "pallas":
-                return x
-            try:
-                return lax.pcast(x, axis, to="varying")
-            except ValueError:
-                return x  # already device-varying (derived from inputs)
+            return _to_varying(x, axis, exchange)
 
         init_inflight = lax.psum(
             jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
@@ -1771,8 +1775,8 @@ def walk_edge_list_node2vec_partitioned_routed(
         return walks, {"log_entries": 0, "exchanged_records": 0,
                        "phases": 0, "overflow_dropped": 0,
                        "terminated": num_walkers, "exchange_bytes": 0}
-    cfg = config or RoutedConfig.for_walk(num_walkers, nshards, walk_length)
-    if config is None:
+    cfg = RoutedConfig.resolve(config, num_walkers, nshards, walk_length)
+    if config is None or config.max_phases <= 0:
         cfg = _biased_phase_budget(cfg, walk_length, spec_rounds)
     hash_tables, hash_salts, hash_log = hashes
     if blooms is None:
