@@ -315,6 +315,45 @@ def main():
     biased_sps = steps / dt_biased
 
     extras = {}
+
+    # North-star shape (VERDICT r3 #3): the default TPU bench additionally
+    # measures the ogbn-products shape (2.45M nodes / 127M edges, avg deg
+    # ~50 — BASELINE "speed-of-light on ogbn-products-scale graphs") and
+    # makes THAT the headline, so every driver-captured BENCH_rNN carries a
+    # current products figure.  The easy synthetic shape is still reported
+    # (bench_shape_* extras) with its own per-shape vs_baseline.
+    dual_shape = (on_tpu and args.dataset == "synthetic" and args.nodes == 0
+                  and args.families == "csr")
+    if dual_shape:
+        from torch_random_walk_tpu.graph.datasets import products_shape_graph
+        from torch_random_walk_tpu.ops.walk import clear_graph_caches as _cgc
+
+        extras["bench_shape_node2vec_node_steps_per_sec"] = round(
+            biased_sps, 1)
+        extras["bench_shape_uniform_node_steps_per_sec"] = round(
+            uniform_sps, 1)
+        extras["bench_shape_nodes"] = num_nodes
+        extras["bench_shape_edges"] = graph.num_edges
+        # The products fat tables (~7.4 GB) cannot share HBM with the
+        # bench-shape ones: free the easy shape first.
+        _cgc(graph)
+        del graph, targets
+        graph = products_shape_graph(args.data_root)
+        dataset_name = "ogbn-products-shape-synthetic"
+        num_nodes = graph.num_nodes
+        targets = jnp.arange(num_walkers,
+                             dtype=graph.col_idx.dtype) % num_nodes
+
+        def uniform_fn(t):
+            return walk(graph, target_nodes=t, p=1.0, q=1.0,
+                        walk_length=walk_length, seed=7)
+
+        def biased_fn(t):
+            return walk(graph, target_nodes=t, p=0.5, q=2.0,
+                        walk_length=walk_length, seed=7)
+
+        uniform_sps = steps / time_fn(uniform_fn, targets, iters=args.iters)
+        biased_sps = steps / time_fn(biased_fn, targets, iters=args.iters)
     if args.families == "all":
         # Same-scale derived graphs: the edge-list family walks the CSR's
         # edges through the range-table engine (padding/restart
@@ -414,9 +453,23 @@ def main():
     vs_baseline = 1.0
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            prev = json.load(f).get("value", 0)
-        if prev:
-            vs_baseline = value / prev
+            base = json.load(f)
+        # Per-shape baselines (VERDICT r3 #3): the products-shape headline
+        # compares against the first recorded products-shape figure, the
+        # easy synthetic shape against its own round-1 value.
+        if dual_shape:
+            prev_p = base.get("products_value", 0)
+            prev_b = base.get("value", 0)
+            if prev_p:
+                vs_baseline = value / prev_p
+            if prev_b:
+                extras["bench_shape_vs_baseline"] = round(
+                    extras["bench_shape_node2vec_node_steps_per_sec"]
+                    / prev_b, 3)
+        else:
+            prev = base.get("value", 0)
+            if prev:
+                vs_baseline = value / prev
 
     print(json.dumps({
         "metric": "node2vec_node_steps_per_sec_per_chip",

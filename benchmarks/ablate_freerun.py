@@ -34,7 +34,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--dataset", default="synthetic",
                     choices=["synthetic", "products"])
-    ap.add_argument("--variants", default="full,noemit,scanonly")
+    ap.add_argument("--variants", default="full,noemit,scanonly",
+                    help="also: rpbN (rounds_per_block override, e.g. "
+                    "rpb3), capX (exact-pass slack multiplier via "
+                    "fatwalk monkeypatch is not supported; use rpbN)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,8 @@ def main():
     if args.dataset == "products":
         graph = products_shape_graph("dataset")
     else:
-        graph = synthetic_power_law(args.nodes, args.degree, 0)
+        graph = synthetic_power_law(args.nodes, args.degree, 0,
+                                    cache_root="dataset")
     es = edge_set_for(graph)
     ft = fat6_for(graph)
     meta = FatMeta.of(graph)
@@ -102,6 +106,10 @@ def main():
 
             with mock.patch.object(fatwalk.lax, "while_loop", no_drain):
                 dt = run()
+        elif name.startswith("rpb"):
+            dt = run(rounds_per_block=int(name[3:]))
+        elif name.startswith("slack"):
+            dt = run(slack=float(name[5:]) / 100.0)
         else:
             raise ValueError(name)
         out[name] = dict(sec=round(dt, 4),

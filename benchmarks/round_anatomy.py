@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--dataset", default="synthetic",
                     choices=["synthetic", "products"])
+    ap.add_argument("--mode", default="round", choices=["round", "pass"])
+    ap.add_argument("--cap", type=int, default=43264,
+                    help="exact-pass capacity for --mode pass")
     args = ap.parse_args()
 
     from torch_random_walk_tpu.utils.profiling import honor_jax_platforms_env
@@ -60,7 +63,8 @@ def main():
     if args.dataset == "products":
         graph = products_shape_graph("dataset")
     else:
-        graph = synthetic_power_law(args.nodes, args.degree, 0)
+        graph = synthetic_power_law(args.nodes, args.degree, 0,
+                                    cache_root="dataset")
     e6, n6 = fat6_for(graph)
     meta = FatMeta.of(graph)
     B, K = args.walkers, args.rounds
@@ -81,9 +85,12 @@ def main():
     row0 = n6[t0]
 
     def mk(level):
-        """Build a K-round scan at the given ladder level."""
+        """Build a K-round scan at the given ladder level.  The tables
+        arrive as ARGUMENTS of the jitted fn (closed-over jnp arrays are
+        baked into the HLO and shipped per compile — fatal over the
+        tunnel)."""
 
-        def body(carry, r):
+        def body_with(tab, carry, r):
             t_row, v_row, step, rnd, walks = carry
             c1 = (step + 1).astype(jnp.uint32) * m + rnd
             if level == "gather":
@@ -91,14 +98,14 @@ def main():
                 # cannot be batched; index derived from the row words only.
                 e = (v_row[:, 0] ^ v_row[:, 1]).astype(jnp.uint32)
                 e = (e % jnp.uint32(num_edges)).astype(jnp.int32)
-                rows = e6[e]
+                rows = tab[e]
                 v_row = rows
                 return (t_row, v_row, step, rnd + 1, walks), None
             b_cand, _ = prng.counter_bits(key, wid, c1)
             if level == "prng":
                 e = ((v_row[:, 0] ^ b_cand) %
                      jnp.uint32(num_edges)).astype(jnp.int32)
-                rows = e6[e]
+                rows = tab[e]
                 v_row = rows
                 return (t_row, v_row, step, rnd + 1, walks), None
             _, start, deg = unpack3(v_row[:, :2])
@@ -112,7 +119,7 @@ def main():
             off = (base // jnp.uint32(mi)).astype(jnp.int32)
             sub = base % jnp.uint32(mi)
             e = jnp.clip(start + off, 0, num_edges - 1)
-            rows = e6[e]
+            rows = tab[e]
             if level == "index":
                 v_row = rows
                 return (t_row, v_row, step, rnd + 1, walks), None
@@ -152,11 +159,112 @@ def main():
             walks = jnp.zeros((B, L + 2), jnp.int32).at[:, 0].set(t0_)
             init = (row0_, row0_, jnp.zeros((B,), jnp.int32),
                     jnp.zeros((B,), jnp.uint32), walks)
-            out, _ = lax.scan(body, init, jnp.arange(K), unroll=4)
+            out, _ = lax.scan(lambda c, r: body_with(e6_, c, r), init,
+                              jnp.arange(K), unroll=4)
             return (out[1][:, 0].astype(jnp.uint32).sum()
                     + out[4][:, 1].astype(jnp.uint32).sum())
 
         return jax.jit(run)
+
+    if args.mode == "pass":
+        # Anatomy of ONE exact pass (the per-block frozen-lane service,
+        # measured in-context at ~3.7 ms on the bench shape): a ladder of
+        # K-iteration scans over its component ops at the production
+        # exact_cap, each serialized through the state.
+        #
+        #   compact    _compact(frozen, cap) + index guards
+        #   stgather   + compacted gathers of the lane state (B-row arrays)
+        #   fatgather  + the candidate fat-row re-gather (cap rows, (E, W))
+        #   cuckoo     + the 2 hash-table membership gathers
+        #   scatters   + the 6 sorted scatters back into the (B, .) state
+        cap = args.cap
+        from torch_random_walk_tpu.ops.walk import edge_set_for
+
+        es = edge_set_for(graph)
+        htab, hls, hsalt = es.table, es.log_size, es.salt
+        kw = dict(indices_are_sorted=True, unique_indices=True)
+
+        def mkp(level):
+            def body(tab, ht, carry, r):
+                t_row, v_row, step, rnd, frozen, walks = carry
+                size = step.shape[0]
+                idx = fatwalk._compact(frozen, cap)
+                safe = jnp.minimum(idx, size - 1)
+                act = idx < size
+                chk = act.sum().astype(jnp.uint32)
+                if level == "compact":
+                    return (t_row, v_row, step, rnd + chk, frozen,
+                            walks), None
+                tr_s = t_row[safe]
+                vr_s = v_row[safe]
+                s_s = step[safe] + 1
+                r_s = rnd[safe]
+                wid_s = wid[safe]
+                chk = chk + (tr_s[:, 0] & jnp.uint32(1)).sum()
+                if level == "stgather":
+                    return (t_row, v_row, step, rnd + chk, frozen,
+                            walks), None
+                c1 = s_s.astype(jnp.uint32) * m + r_s
+                b_cand, _ = prng.counter_bits(key, wid_s, c1)
+                _, start, deg = unpack3(vr_s[:, :2])
+                off = prng.randint_from_bits(b_cand, jnp.maximum(deg, 1))
+                e = jnp.clip(start + off, 0, num_edges - 1)
+                rows = tab[e]
+                cand = unpack3(rows[:, :2])[0]
+                chk = chk + (cand.astype(jnp.uint32) & jnp.uint32(1)).sum()
+                if level == "fatgather":
+                    return (t_row, v_row, step, rnd + chk, frozen,
+                            walks), None
+                t = unpack3(tr_s[:, :2])[0]
+                hit = fatwalk._edge_set_contains(ht, hls, hsalt, cand, t)
+                acc = act & hit
+                chk = chk + hit.sum().astype(jnp.uint32)
+                if level == "cuckoo":
+                    return (t_row, v_row, step, rnd + chk, frozen,
+                            walks), None
+                oob = size
+                i_act = jnp.where(act, idx, oob)
+                t_row = t_row.at[i_act].set(
+                    jnp.where(acc[:, None], vr_s, tr_s), **kw)
+                v_row = v_row.at[i_act].set(
+                    jnp.where(acc[:, None], rows, vr_s), **kw)
+                g_rows = jnp.where(act, idx, B)
+                walks = walks.at[g_rows,
+                                 jnp.where(acc, s_s, L + 1)].set(cand, **kw)
+                step = step.at[i_act].add(acc.astype(step.dtype), **kw)
+                rnd = rnd.at[i_act].set(
+                    jnp.where(acc, 0, r_s + 1), **kw) + chk
+                frozen = frozen.at[i_act].set(False, **kw)
+                frozen = frozen | ((step & 3) == (r % 3))  # keep pool alive
+                return (t_row, v_row, step, rnd, frozen, walks), None
+
+            def run(e6_, ht, t0_):
+                row0_ = n6[t0_]
+                walks = jnp.zeros((B, L + 2), jnp.int32)
+                fr = (jnp.arange(B) % 3) == 0
+                init = (row0_, row0_, jnp.zeros((B,), jnp.int32),
+                        jnp.zeros((B,), jnp.uint32), fr, walks)
+                out, _ = lax.scan(lambda c, r: body(e6_, ht, c, r), init,
+                                  jnp.arange(K), unroll=1)
+                return (out[3].astype(jnp.uint32).sum()
+                        + out[0][:, 0].astype(jnp.uint32).sum())
+
+            return jax.jit(run)
+
+        results = {}
+        for level in ("compact", "stgather", "fatgather", "cuckoo",
+                      "scatters"):
+            fn = mkp(level)
+            float(fn(e6, htab, t0))
+            best = 1e9
+            for _ in range(args.iters):
+                s = time.perf_counter()
+                float(fn(e6, htab, t0))
+                best = min(best, time.perf_counter() - s)
+            results[level] = round(best / K * 1e3, 4)
+            print(f"{level:9s} {results[level]:8.4f} ms/pass", flush=True)
+        print(json.dumps({"config": vars(args), "ms_per_pass": results}))
+        return
 
     results = {}
     for level in ("gather", "prng", "index", "classify", "advance", "emit"):

@@ -190,9 +190,25 @@ def synthetic_sbm(num_nodes: int, num_blocks: int, avg_degree: float,
 
 
 def synthetic_power_law(num_nodes: int, avg_degree: int,
-                        seed: int = 0) -> CSRGraph:
+                        seed: int = 0, cache_root: str | None = None
+                        ) -> CSRGraph:
     """Synthetic graph with a heavy-tailed in-degree (hub) distribution —
-    the stand-in for ogbn-scale graphs when downloads are unavailable."""
+    the stand-in for ogbn-scale graphs when downloads are unavailable.
+
+    Generation is a pure function of (num_nodes, avg_degree, seed), so
+    ``cache_root`` (or $TRW_GRAPH_CACHE) enables the same on-disk CSR cache
+    products_shape_graph uses — the multi-minute host build of the 2M/36M
+    bench shape collapses to a load."""
+    cache_root = cache_root or os.environ.get("TRW_GRAPH_CACHE")
+    cache = None
+    if cache_root and num_nodes >= 500_000:
+        cache = os.path.join(
+            cache_root, f"powerlaw_{num_nodes}_{avg_degree}_{seed}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as data:
+                return CSRGraph.from_arrays(data["row_ptr"],
+                                            data["col_idx"],
+                                            sort_rows=False)
     rng = np.random.default_rng(seed)
     num_edges = num_nodes * avg_degree
     u = rng.random(num_edges)
@@ -201,7 +217,12 @@ def synthetic_power_law(num_nodes: int, avg_degree: int,
     ring = np.arange(num_nodes, dtype=np.int64)
     src = np.concatenate([src, ring, (ring + 1) % num_nodes])
     dst = np.concatenate([dst, (ring + 1) % num_nodes, ring])
-    return CSRGraph.from_edges(src, dst, num_nodes=num_nodes)
+    graph = CSRGraph.from_edges(src, dst, num_nodes=num_nodes)
+    if cache:
+        os.makedirs(cache_root, exist_ok=True)
+        _atomic_savez(cache, row_ptr=np.asarray(graph.row_ptr),
+                      col_idx=np.asarray(graph.col_idx))
+    return graph
 
 
 def products_shape_graph(root: str = "dataset") -> CSRGraph:

@@ -318,15 +318,17 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     def contains(u, v):
         return _edge_set_contains(hash_table, hash_log_size, hash_salt, u, v)
 
-    def classify(t_row, v_row, wid_s, c1, use_bloom=True, nbr=None):
+    def classify2(t_row, v_row, wid_s, c1):
         """One draw at state (t_row, v_row) under the configured sampler.
 
-        Returns (cand_rows, cand, spike, acc, rej) where acc/rej are the
-        locally decided outcomes (a draw neither acc nor rej is frozen —
-        only possible when use_bloom and the Bloom is positive in-band;
-        pass nbr= the exact membership to force full resolution).
-        ``spike`` marks mixture draws that selected the t point mass
-        (their next row is t_row, not an edge row)."""
+        Returns (cand_rows, cand, spike, dead, acc_n, rej_n, e, accA, accB):
+        acc_n/rej_n are the locally (Bloom-)decided outcomes — a draw
+        neither acc nor rej is FROZEN (in the acceptance band AND
+        Bloom-positive); ``e`` is the drawn edge index and accA/accB the
+        draw's precomputed accept-if-neighbor / accept-if-not outcomes, so
+        a frozen draw can be resolved later by a bare cuckoo membership
+        with no redraw.  ``spike`` marks mixture draws that selected the t
+        point mass (their next row is t_row, not an edge row)."""
         t = unpack3(t_row[:, :2])[0]
         _, start, deg = unpack3(v_row[:, :2])
         b_cand, b_acc = prng.counter_bits(key, wid_s, c1)
@@ -353,21 +355,16 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                              jnp.where(spike[:, None], spike_row, rows))
             cand = unpack3(rows[:, :2])[0]
             is_t = cand == t
-            if nbr is None:
-                maybe = bloom_maybe(t_row[:, 2:mult_col], cand, words=bw)
-                acc_n = jnp.where(is_t, sub < wt_i,
-                                  jnp.where(maybe, sub < lo_i, sub < w2_i))
-                rej_n = jnp.where(is_t, sub >= wt_i,
-                                  jnp.where(maybe, sub >= hi_i,
-                                            sub >= w2_i))
-            else:
-                acc_n = jnp.where(is_t, sub < wt_i,
-                                  jnp.where(nbr(cand, t), sub < w1_i,
-                                            sub < w2_i))
-                rej_n = ~acc_n
+            maybe = bloom_maybe(t_row[:, 2:mult_col], cand, words=bw)
+            acc_n = jnp.where(is_t, sub < wt_i,
+                              jnp.where(maybe, sub < lo_i, sub < w2_i))
+            rej_n = jnp.where(is_t, sub >= wt_i,
+                              jnp.where(maybe, sub >= hi_i,
+                                        sub >= w2_i))
             acc_n = spike | (acc_n & ~spike)
             rej_n = rej_n & ~spike
-            return rows, cand, spike, dead, acc_n, rej_n
+            return (rows, cand, spike, dead, acc_n, rej_n, e,
+                    sub < w1_i, sub < w2_i)
         off = prng.randint_from_bits(b_cand, jnp.maximum(deg, 1))
         e = jnp.clip(start + off, 0, max(meta.num_edges - 1, 0))
         rows = edge_tab6[e]
@@ -376,40 +373,78 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         cand = unpack3(rows[:, :2])[0]
         r = prng.uniform_from_bits(b_acc)
         is_t = cand == t
-        if nbr is None:
-            maybe = bloom_maybe(t_row[:, 2:mult_col], cand, words=bw)
-            acc_n = jnp.where(is_t, r < prob_0,
-                              jnp.where(maybe, r < lo_acc, r < prob_2))
-            rej_n = jnp.where(is_t, r >= prob_0,
-                              jnp.where(maybe, r >= hi_acc, r >= prob_2))
-        else:
-            acc_n = jnp.where(is_t, r < prob_0,
-                              jnp.where(nbr(cand, t), r < prob_1,
-                                        r < prob_2))
-            rej_n = ~acc_n
+        maybe = bloom_maybe(t_row[:, 2:mult_col], cand, words=bw)
+        acc_n = jnp.where(is_t, r < prob_0,
+                          jnp.where(maybe, r < lo_acc, r < prob_2))
+        rej_n = jnp.where(is_t, r >= prob_0,
+                          jnp.where(maybe, r >= hi_acc, r >= prob_2))
         spike = jnp.zeros(cand.shape, bool)
-        return rows, cand, spike, dead, acc_n, rej_n
+        return (rows, cand, spike, dead, acc_n, rej_n, e,
+                r < prob_1, r < prob_2)
+
+    # --- merged lane state (r4 exact-pass redesign) -----------------------
+    # One (lanes, 2W+4) uint32 array instead of six parallel arrays:
+    #
+    #   [:, :W]      t row        [:, W:2W]   v row
+    #   [:, 2W]      step         [:, 2W+1]   rnd | FROZEN<<31
+    #                                             | ACC_IF_NBR<<30
+    #                                             | ACC_IF_NOT<<29
+    #   [:, 2W+2]    pend_cand    [:, 2W+3]   pend_e
+    #
+    # Rationale (BENCHLOG r4 pass anatomy): the exact pass was ~3.7 ms of
+    # every 4-round block — over half of it the SIX per-array scatters, a
+    # further quarter the candidate re-derivation (threefry + fat gather +
+    # classify replay).  Freezing lanes now RECORD their pending draw: the
+    # candidate id, its edge index, and the two possible acceptance
+    # outcomes (accept-if-neighbor / accept-if-not — the draw's sub
+    # threshold tests, precomputed), so the pass is just: compact frozen →
+    # ONE state gather → cuckoo membership (2 gathers) → pick the
+    # precomputed outcome → ONE state scatter + the walk scatter.  Draw
+    # counters are untouched: the stored candidate IS the frozen round's
+    # draw, so bit-identity with the jnp oracles is preserved.
+    W = int(edge_tab6.shape[1])
+    C_STEP, C_RND, C_CAND, C_PEND_E = 2 * W, 2 * W + 1, 2 * W + 2, 2 * W + 3
+    F_FROZEN = jnp.uint32(1 << 31)
+    F_ACC_NBR = jnp.uint32(1 << 30)
+    F_ACC_NOT = jnp.uint32(1 << 29)
+    RND_MASK = jnp.uint32((1 << 16) - 1)
 
     def one_round(st, wid_s, ids):
-        """One free-running round over the lanes in ``st``.  ``ids`` is None
-        for the full-batch phases (emission = masked select) or the global
-        lane ids of a compacted subset (emission = sorted scatter)."""
-        t_row, v_row, step, rnd, frozen, walks = st
+        """One free-running round over the lanes in ``st = (S, walks)``.
+        ``ids`` is None for the full-batch phases (emission = masked
+        select) or the global lane ids of a compacted subset (emission =
+        sorted scatter)."""
+        S, walks = st
+        t_row = S[:, :W]
+        v_row = S[:, W:2 * W]
+        step = S[:, C_STEP].astype(jnp.int32)
+        rw = S[:, C_RND]
+        rnd = rw & RND_MASK
+        frozen = (rw & F_FROZEN) != 0
         active = (step < length) & ~frozen
         s = step + 1
         c1 = s.astype(jnp.uint32) * m + rnd
-        rows, cand, spike, dead, acc_n, rej_n = classify(t_row, v_row, wid_s,
-                                                         c1)
+        rows, cand, spike, dead, acc_n, rej_n, e, accA, accB = classify2(
+            t_row, v_row, wid_s, c1)
         is_first = step == 0
         acc = active & (is_first | dead | acc_n)
         rej = active & ~acc & rej_n & ~is_first & ~dead
         frz = active & ~acc & ~rej
         new_t_row = jnp.where(acc[:, None], v_row, t_row)
-        v_row = jnp.where(acc[:, None], rows, v_row)
-        t_row = new_t_row
+        new_v_row = jnp.where(acc[:, None], rows, v_row)
         step = step + acc.astype(step.dtype)
         rnd = jnp.where(acc, 0, rnd + rej.astype(jnp.uint32))
-        frozen = frozen | frz
+        rw = (rnd
+              | jnp.where(frozen | frz, F_FROZEN, 0)
+              | jnp.where(frz, jnp.where(accA, F_ACC_NBR, 0)
+                          | jnp.where(accB, F_ACC_NOT, 0),
+                          jnp.where(frozen, rw, 0)
+                          & (F_ACC_NBR | F_ACC_NOT)))
+        pend_cand = jnp.where(frz, cand.astype(jnp.uint32), S[:, C_CAND])
+        pend_e = jnp.where(frz, e.astype(jnp.uint32), S[:, C_PEND_E])
+        S = jnp.concatenate(
+            [new_t_row, new_v_row, step.astype(jnp.uint32)[:, None],
+             rw[:, None], pend_cand[:, None], pend_e[:, None]], axis=1)
         if ids is None:
             # Emit via masked select, not scatter: a full-B dynamic-column
             # scatter costs ~1.5ms/round on the TPU scatter path, while the
@@ -421,33 +456,43 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
             # (== dropped), non-accepting lanes write the junk column.
             walks = walks.at[ids, jnp.where(acc, s, length + 1)].set(
                 cand, indices_are_sorted=True, unique_indices=True)
-        return t_row, v_row, step, rnd, frozen, walks
+        return S, walks
 
     def exact_pass(st, wid_s, ids, cap):
-        """Serve frozen lanes: replay the frozen round through the cuckoo
-        set (compacted within the current lane set)."""
-        t_row, v_row, step, rnd, frozen, walks = st
-        size = t_row.shape[0]
+        """Serve frozen lanes from their RECORDED pending draw: compact →
+        one state gather → cuckoo membership → precomputed outcome →
+        one state scatter + the walk scatter.  No redraw happens, so the
+        resolved value equals the frozen round's draw bit-for-bit."""
+        S, walks = st
+        size = S.shape[0]
+        frozen = (S[:, C_RND] & F_FROZEN) != 0
         idx = _compact(frozen, cap)
         safe = jnp.minimum(idx, size - 1)
         act = idx < size
-        tr_s = t_row[safe]
-        vr_s = v_row[safe]
-        s_s = step[safe] + 1
-        c1 = s_s.astype(jnp.uint32) * m + rnd[safe]
-        rows, cand, _spike, _dead, acc_n, _rej = classify(
-            tr_s, vr_s, wid_s[safe], c1, nbr=lambda c, t: contains(t, c))
-        acc = act & acc_n
-        # All writes go through i_act (compacted ascending + OOB-padded
-        # tail => sorted unique scatters); non-accepted lanes write their
-        # old values back, so every scatter is maximally cheap.
-        oob = size  # out-of-bounds scatter index == dropped
-        i_act = jnp.where(act, idx, oob)
+        Ss = S[safe]
+        t = unpack3(Ss[:, :2])[0]
+        cand = Ss[:, C_CAND].astype(jnp.int32)
+        hit = contains(t, cand)
+        rw_s = Ss[:, C_RND]
+        acc = act & jnp.where(hit, (rw_s & F_ACC_NBR) != 0,
+                              (rw_s & F_ACC_NOT) != 0)
+        e = jnp.clip(Ss[:, C_PEND_E].astype(jnp.int32), 0,
+                     max(meta.num_edges - 1, 0))
+        rows = edge_tab6[e]
+        step_s = Ss[:, C_STEP].astype(jnp.int32)
+        s_s = step_s + 1
+        new_t = jnp.where(acc[:, None], Ss[:, W:2 * W], Ss[:, :W])
+        new_v = jnp.where(acc[:, None], rows, Ss[:, W:2 * W])
+        new_step = step_s + acc.astype(step_s.dtype)
+        new_rw = jnp.where(acc, 0, (rw_s & RND_MASK)
+                           + act.astype(jnp.uint32))
+        Snew = jnp.concatenate(
+            [new_t, new_v, new_step.astype(jnp.uint32)[:, None],
+             new_rw[:, None], Ss[:, C_CAND][:, None],
+             Ss[:, C_PEND_E][:, None]], axis=1)
         kw = dict(indices_are_sorted=True, unique_indices=True)
-        t_row = t_row.at[i_act].set(jnp.where(acc[:, None], vr_s, tr_s),
-                                    **kw)
-        v_row = v_row.at[i_act].set(jnp.where(acc[:, None], rows, vr_s),
-                                    **kw)
+        i_act = jnp.where(act, idx, size)
+        S = S.at[i_act].set(Snew, **kw)
         # Walk rows are addressed by GLOBAL lane id (identity in the
         # full-batch phases); ids[safe] stays ascending because compaction
         # indices are.
@@ -455,12 +500,7 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                            num_walkers)
         walks = walks.at[g_rows, jnp.where(acc, s_s, length + 1)].set(
             cand, **kw)
-        step = step.at[i_act].add(acc.astype(step.dtype), **kw)
-        rnd = rnd.at[i_act].set(
-            jnp.where(acc, 0, rnd[safe] + (act & ~acc).astype(jnp.uint32)),
-            **kw)
-        frozen = frozen.at[i_act].set(False, **kw)
-        return t_row, v_row, step, rnd, frozen, walks
+        return S, walks
 
     def block(st, wid_s=None, ids=None, cap=None):
         # Rounds run under lax.scan (partially unrolled): fully Python-
@@ -472,14 +512,17 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                       length=rounds_per_block, unroll=round_unroll)[0]
         return exact_pass(st, wid_s, ids, cap)
 
-    state = (row0, row0, jnp.zeros((num_walkers,), jnp.int32),
-             jnp.zeros((num_walkers,), jnp.uint32),
-             jnp.zeros((num_walkers,), bool), walks0)
+    S0 = jnp.concatenate(
+        [row0, row0, jnp.zeros((num_walkers, 4), jnp.uint32)], axis=1)
+    state = (S0, walks0)
     state, _ = lax.scan(lambda st, _: (block(st), 0), state,
                         jnp.arange(scan_blocks))
 
+    def step_of(st):
+        return st[0][:, C_STEP].astype(jnp.int32)
+
     def active_count(st):
-        return jnp.sum((st[2] < length).astype(jnp.int32))
+        return jnp.sum((step_of(st) < length).astype(jnp.int32))
 
     # Straggler drain.  Lane completion rounds concentrate around the mean
     # (sum of L geometrics: sigma/mu ~ 1/sqrt(L)), so the scan phase covers
@@ -499,10 +542,18 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                    max(((num_walkers // frac) + 127) // 128 * 128, 256))
 
     level_caps = []
-    for frac in (4, 16, 64):
+    for frac in (4, 16, 64, 256):
         c = cap_of(frac)
         if not level_caps or c < level_caps[-1]:
             level_caps.append(c)
+
+    def pass_cap_for(width: int) -> int:
+        """Exact-pass capacity scaled to the CURRENT lane width: the frozen
+        inflow of one block is ~freeze_rate*rpb*width (2x margin for the
+        straggler tail's above-average freeze density; overflowing lanes
+        simply wait one more block — never dropped)."""
+        raw = int(2.0 * freeze_rate * rounds_per_block * width)
+        return min(exact_cap, width, max(((raw + 127) // 128) * 128, 256))
 
     def compact_level(st, wid_s, ids_rows, c):
         """Compact the active lanes of ``st`` into a c-lane level.  Padding
@@ -517,8 +568,9 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         single-chip analog of the routed engines' completeness check; when
         nothing overflows every poison index is out of bounds and the
         scatter is a no-op, preserving bit-identity)."""
-        t_row, v_row, step, rnd, frozen, walks = st
-        size = step.shape[0]
+        S, walks = st
+        size = S.shape[0]
+        step = S[:, C_STEP].astype(jnp.int32)
         active = step < length
         rank = jnp.cumsum(active.astype(jnp.int32)) - 1
         lost = active & (rank >= c)
@@ -532,16 +584,19 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         act = idx < size
         src_rows = idx if ids_rows is None else ids_rows[safe]
         new_ids = jnp.where(act, src_rows, num_walkers)
-        sub = (t_row[safe], v_row[safe],
-               jnp.where(act, step[safe], length),
-               rnd[safe], frozen[safe] & act, walks)
-        return sub, wid_s[safe], new_ids
+        Ss = S[safe]
+        # Padding lanes: step=length (never active), flags cleared (never
+        # frozen) so they cannot enter an exact pass.
+        Ss = Ss.at[:, C_STEP].set(
+            jnp.where(act, Ss[:, C_STEP], jnp.uint32(length)))
+        Ss = Ss.at[:, C_RND].set(jnp.where(act, Ss[:, C_RND], 0))
+        return (Ss, walks), wid_s[safe], new_ids
 
     budget = jnp.int32(drain_blocks)
     cur_wid, cur_ids = wid, None
     for c in level_caps:
         kw = dict(wid_s=cur_wid, ids=cur_ids,
-                  cap=min(exact_cap, state[2].shape[0]))
+                  cap=pass_cap_for(state[0].shape[0]))
 
         def guard_cond(carry, _c=c, _kw=kw):
             st, n = carry
@@ -557,11 +612,11 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         state, cur_wid, cur_ids = compact_level(state, cur_wid, cur_ids, c)
 
     last_kw = dict(wid_s=cur_wid, ids=cur_ids,
-                   cap=min(exact_cap, state[2].shape[0]))
+                   cap=pass_cap_for(state[0].shape[0]))
 
     def final_cond(carry):
         st, n = carry
-        return jnp.any(st[2] < length) & (n < budget)
+        return jnp.any(step_of(st) < length) & (n < budget)
 
     state, _ = lax.while_loop(
         final_cond, lambda carry: (block(carry[0], **last_kw), carry[1] + 1),
@@ -570,7 +625,7 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     # caller shrinks max_rounds far below DEFAULT_MAX_ROUNDS): poison their
     # final position with -1 — same loud-incompleteness contract as
     # compact_level above.  No-op (all indices OOB) on complete runs.
-    step_f, walks_f = state[2], state[5]
+    step_f, walks_f = step_of(state), state[1]
     size_f = step_f.shape[0]
     g_f = (jnp.arange(size_f, dtype=jnp.int32) if cur_ids is None
            else cur_ids)
