@@ -154,6 +154,10 @@ def run_scaling(args):
 
         point = {
             "devices": d,
+            # Virtual CPU devices oversubscribe the host's cores: the
+            # wall-clock columns are a routing-overhead sanity check only.
+            # The honest pod projection is benchmarks/scaling_model.py.
+            "wall_clock_valid": on_tpu,
             "uniform_steps_per_sec": round(steps / dt_u, 1),
             "node2vec_steps_per_sec": round(steps / dt_b, 1),
             "uniform_exchange_bytes_per_step": round(

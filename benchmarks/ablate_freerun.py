@@ -108,6 +108,9 @@ def main():
                 dt = run()
         elif name.startswith("rpb"):
             dt = run(rounds_per_block=int(name[3:]))
+        elif name.startswith("cfg"):
+            r, u = name[3:].split("_")
+            dt = run(rounds_per_block=int(r), round_unroll=int(u))
         elif name.startswith("slack"):
             dt = run(slack=float(name[5:]) / 100.0)
         else:

@@ -453,9 +453,10 @@ class TestMixtureSampler:
         self._check(g, 0.25, 2.0, 4096, walk_length=10)
 
     def test_mixture_wide_bloom_deg50(self):
-        """Average degree ~50 selects the 224-bit Bloom width
-        (ops/walk.bloom_words_for — the 96-bit filter saturates there);
-        the wider (E, 10) rows must stay bit-identical to the jnp mixture
+        """Average degree ~50 selects the 416-bit Bloom width
+        (ops/walk.bloom_words_for — narrow filters saturate there, and the
+        r4 width curve shows (E, 16) rows gather at the same rate as
+        (E, 10)); the wide rows must stay bit-identical to the jnp mixture
         reference through the freerun engine."""
         from torch_random_walk_tpu.ops.walk import bloom_words_for, fat6_for
 
@@ -464,8 +465,8 @@ class TestMixtureSampler:
         src = rng.integers(0, n, n * 50)
         dst = rng.integers(0, n, n * 50)
         g = CSRGraph.from_edges(src, dst, num_nodes=n)
-        assert bloom_words_for(g.num_nodes, g.num_edges) == 7
-        assert fat6_for(g)[0].shape[1] == 10
+        assert bloom_words_for(g.num_nodes, g.num_edges) == 13
+        assert fat6_for(g)[0].shape[1] == 16
         self._check(g, 0.5, 2.0, 4096, walk_length=10)
 
     def test_mixture_matches_node2vec_law(self):

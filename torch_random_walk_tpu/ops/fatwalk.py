@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -285,17 +286,27 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     # is small against a 3.5ms round).
     freeze_rate = fp_est * band_frac
     if rounds_per_block is None:
-        # Thresholds anchored to the r3 post-drain sweeps: with the
-        # compacted straggler drain, frozen-lane stalls cost less, so the
-        # sweet spot moved to LONGER blocks — rpb=4 is at/near the top on
-        # both the deg-18 bench shape (14.21 vs 14.28 at rpb=5, 14.04 at
-        # rpb=3) and the deg-52 products shape (9.67, best measured); very
-        # high freeze rates (saturating Blooms) still want per-round exact
-        # passes.
+        # Thresholds anchored to the r4 sweeps: with the recorded-pend
+        # exact pass AND the plateau-width Blooms (freeze rates ~0.03),
+        # the sweet spot moved to LONGER blocks again — rpb=8 tops both
+        # shapes (bench 21.87M at rpb8 vs 21.57M at rpb4; products 14.78M
+        # at rpb8 vs 14.29M, falling by rpb12).  Very high freeze rates
+        # (saturating Blooms) still want per-round exact passes.
         rounds_per_block = 1 if freeze_rate > 0.15 else (
-            2 if freeze_rate > 0.09 else 4)
+            2 if freeze_rate > 0.09 else (4 if freeze_rate > 0.05 else 8))
     if round_unroll is None:
-        round_unroll = rounds_per_block
+        # TPU: fully unroll the block (measured +10%: 21.89M at unroll 8
+        # vs 19.82M at unroll 1, bench shape).  CPU: LLVM compile time
+        # explodes superlinearly in unroll x row width ((E,16) rows at
+        # unroll 2 never finished; unroll 1 compiles in ~6 s), and CPU
+        # here is a correctness backend — cap it.  The unroll is
+        # trace-structure only: walks are bit-identical either way
+        # (asserted by the CPU suite vs the TPU-measured engine).
+        if jax.default_backend() == "tpu":
+            round_unroll = rounds_per_block
+        else:
+            wide = int(edge_tab6.shape[1]) > 8
+            round_unroll = 1 if wide else min(rounds_per_block, 4)
     inflow = 1.4 * fp_est * band_frac * rounds_per_block * num_walkers
     exact_cap = int(min(num_walkers,
                         max(((int(inflow) + 127) // 128) * 128, 256)))

@@ -57,15 +57,21 @@ def bloom_words_for(num_nodes: int, num_edges: int) -> int:
     The filter carries 2 probes per neighbor; once 2*deg approaches the bit
     count the filter saturates (fp -> 1) and every in-band draw freezes for
     an exact pass (measured on the products shape, deg ~50: fp ~0.46 at 96
-    bits collapsed node2vec to 3.0M steps/s).  Row width is nearly free on
-    the gather engine (BENCHLOG.md: (E,2) 1.75ms vs (E,6) 2.19ms at
-    B=128K), so scale the width with degree instead."""
+    bits collapsed node2vec to 3.0M steps/s).
+
+    Widths sit at the TOP of each measured gather-rate plateau (r4 width
+    curve, 36M-row table, B=128K serialized gathers on v5e):
+
+        W=2..4: 68-72M rows/s | W=6..8: ~58M | W=10..16: ~40-41M
+
+    so a (E, 8) row costs the same as (E, 6) and (E, 16) the same as
+    (E, 10) — the widest Bloom inside a plateau is FREE, and every halving
+    of the false-positive rate halves the freeze rate (frozen lanes stall
+    for the exact pass; BENCHLOG r4 pass anatomy)."""
     avg_deg = num_edges / max(num_nodes, 1)
-    if avg_deg <= 24:
-        return 3    # 96 bits:  fp ~0.10 at deg 16
-    if avg_deg <= 64:
-        return 7    # 224 bits: fp ~0.14 at deg 50
-    return 13       # 416 bits: fp ~0.15 at deg 100; hubs saturate anyway
+    if avg_deg <= 28:
+        return 5    # 160 bits (row width 8):  fp ~0.06 at deg 18
+    return 13       # 416 bits (row width 16): fp ~0.07 at deg 52
 
 
 def fat6_for(graph: CSRGraph):
