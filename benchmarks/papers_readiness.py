@@ -9,8 +9,11 @@ that path end-to-end at a host-RAM-feasible fraction of the full shape:
   1. builds a papers100M-shaped synthetic (power-law hubs, avg deg 15) at
      ``--scale`` of the full node count (default 1/10: 11.1M nodes,
      ~188M directed edges with the ring edges);
-  2. constructs PartitionedCSR shards + per-shard cuckoo/Bloom tables for
-     D=8, walks uniform AND node2vec on the virtual CPU mesh, asserts
+  2. constructs PartitionedCSR shards + per-shard Bloom tables for D=8
+     (r4: NO cuckoo — the routed engine's distance-1 test binary-searches
+     the local col slice under hashes=None, dropping the 10.7 GB/shard
+     membership term of the r3 budget; pass --cuckoo to rebuild the old
+     path), walks uniform AND node2vec on the virtual CPU mesh, asserts
      zero-drop/completeness;
   3. prints the measured per-shard memory table and its linear
      extrapolation to the full 111M/1.6B shape, per device count.
@@ -40,7 +43,8 @@ def shard_memory_bytes(pg, hashes, blooms, num_walkers, walk_length):
     out = {}
     out["node_meta"] = pg.shard_nodes * 2 * 4
     out["col_slice"] = int(pg.col_shards.shape[1]) * 4
-    out["cuckoo"] = int(hashes[0].shape[1]) * 2 * 4
+    out["cuckoo"] = (int(hashes[0].shape[1]) * 2 * 4
+                     if hashes is not None else 0)
     out["bloom"] = pg.shard_nodes * 4 * 4
     out["walk_shard"] = (num_walkers // d) * (walk_length + 1) * 4
     return out
@@ -52,6 +56,9 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--walkers", type=int, default=8192)
     ap.add_argument("--walk-length", type=int, default=8)
+    ap.add_argument("--cuckoo", action="store_true",
+                    help="use the per-shard cuckoo edge sets (r3 path) "
+                    "instead of local binary search")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -80,7 +87,7 @@ def main():
 
     n = int(PAPERS_NODES * args.scale)
     t0 = time.time()
-    graph = synthetic_power_law(n, AVG_DEG, 0)
+    graph = synthetic_power_law(n, AVG_DEG, 0, cache_root="dataset")
     build_s = time.time() - t0
     print(f"graph: {graph.num_nodes:,} nodes, {graph.num_edges:,} edges "
           f"({build_s:.0f}s build)", flush=True)
@@ -89,7 +96,7 @@ def main():
     mesh = make_mesh(devices=jax.devices()[:d])
     t0 = time.time()
     pg = PartitionedCSR.from_csr(graph, d)
-    hashes = build_partition_hashes(pg, graph)
+    hashes = build_partition_hashes(pg, graph) if args.cuckoo else None
     blooms = build_partition_blooms(pg, graph)
     part_s = time.time() - t0
     print(f"partitioned into D={d} shards ({part_s:.0f}s)", flush=True)

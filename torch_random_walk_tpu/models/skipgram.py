@@ -49,7 +49,7 @@ def sorted_unique_with_locations(x_flat, oob: int):
     return uids, loc
 
 
-def scatter_rows(table, ids, rows):
+def scatter_rows(table, ids, rows, group: bool = True):
     """``table.at[ids].set(rows)`` for SORTED-UNIQUE ids padded with
     ``oob == table.shape[0]`` at the tail (dropped) — routed around the TPU
     narrow-row scatter cliff.
@@ -63,9 +63,17 @@ def scatter_rows(table, ids, rows):
     entries are consecutive; each entry merges its neighbors' lanes too,
     making duplicate group writes carry identical rows), and scatter the
     128-wide merged rows.  ~5x faster at D=64 despite the extra gather.
+
+    Pass ``group=False`` when the table is FEATURE-SHARDED (the dp x mp
+    trainer): the grouped (N/g, g*D) reshape crosses the sharded feature
+    axis, so under P(None, "model") XLA must all-gather the whole table to
+    materialize the view — measured ~10x MORE collective bytes per step
+    than the dense path (benchmarks/trainer_traffic.py).  The narrow-row
+    cliff on sharded pods needs a shard_map-local grouped view instead
+    (future work); plain scatters are correct and traffic-optimal there.
     """
     n, d = table.shape
-    g = 128 // d if (d < 128 and 128 % d == 0) else 1
+    g = 128 // d if (group and d < 128 and 128 % d == 0) else 1
     if g == 1 or n % g:
         return table.at[ids].set(rows, mode="drop", indices_are_sorted=True,
                                  unique_indices=True)
@@ -73,10 +81,11 @@ def scatter_rows(table, ids, rows):
     valid = ids < n
     pid = jnp.minimum(ids, n) // g
     slot = ids % g
-    group = jnp.where(valid[:, None], view[jnp.minimum(pid, n // g - 1)], 0)
+    grp_rows = jnp.where(valid[:, None], view[jnp.minimum(pid, n // g - 1)],
+                         0)
     lane = jnp.repeat(jnp.arange(g)[None, :] == slot[:, None], d, axis=1)
     tiled = jnp.tile(rows, (1, g))
-    merged = jnp.where(lane, tiled, group)
+    merged = jnp.where(lane, tiled, grp_rows)
     for s in range(1, g):
         for sign in (1, -1):
             off = sign * s
@@ -244,9 +253,10 @@ class SkipGramModel:
                 "nu": jax.tree.map(jnp.copy, zeros),
                 "count": jnp.zeros((), jnp.int32)}
 
-    @partial(jax.jit, static_argnums=(0, 5, 6))
+    @partial(jax.jit, static_argnums=(0, 5, 6, 7))
     def walk_train_step_sparse(self, params, opt_state, walks, neg_ids,
-                               window_size: int, num_neg: int):
+                               window_size: int, num_neg: int,
+                               group_scatter: bool = True):
         """Blockwise train step with a TOUCHED-ROWS (lazy) Adam update.
 
         The dense step materializes full (N, D) gradient tables and runs
@@ -318,9 +328,12 @@ class SkipGramModel:
             rows = (sub.astype(jnp.float32) - upd).astype(params[name].dtype)
             # ids are sorted with the OOB pads (== n) at the tail;
             # scatter_rows routes around the narrow-row scatter cliff.
-            params[name] = scatter_rows(params[name], ids, rows)
-            mu[name] = scatter_rows(mu[name], ids, mu_new)
-            nu[name] = scatter_rows(nu[name], ids, nu_new)
+            params[name] = scatter_rows(params[name], ids, rows,
+                                        group=group_scatter)
+            mu[name] = scatter_rows(mu[name], ids, mu_new,
+                                    group=group_scatter)
+            nu[name] = scatter_rows(nu[name], ids, nu_new,
+                                    group=group_scatter)
         return params, {"mu": mu, "nu": nu, "count": count}, loss
 
     @staticmethod

@@ -522,7 +522,19 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
     cfg = RoutedConfig.resolve(config, num_walkers, nshards, walk_length)
     if config is None or config.max_phases <= 0:
         cfg = _biased_phase_budget(cfg, walk_length, spec_rounds)
-    hash_tables, hash_salts, hash_log = hashes
+    if hashes is None:
+        # hashes=None (r4, VERDICT r3 #5): the distance-1 test binary-
+        # searches t's sorted row in the LOCAL col slice instead of probing
+        # a per-shard cuckoo edge set.  Owner(t) holds t's meta row and col
+        # slice already, so the cuckoo's 2.5 * E_shard * 8 B — 10.7
+        # GB/shard at papers100M D=8, the dominant term of the r3 memory
+        # budget — drops to ZERO.  Both tests are exact, so walks stay
+        # bit-identical (asserted in tests/test_partition_v2.py).
+        hash_tables = jnp.zeros((nshards, 1, 2), jnp.uint32)
+        hash_salts = jnp.zeros((nshards, 2), jnp.uint32)
+        hash_log = 0
+    else:
+        hash_tables, hash_salts, hash_log = hashes
 
     if blooms is None:
         # Saturated filters == "always maybe": every in-band draw takes the
@@ -542,7 +554,8 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
                          num_walkers, walk_length, float(p),
                          float(q), int(spec_rounds), int(hash_log),
                          cfg.pair_capacity, cfg.carry,
-                         cfg.max_phases, exchange, bool(exchange_interpret))
+                         cfg.max_phases, exchange, bool(exchange_interpret),
+                         use_search=hashes is None)
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_CSR_BIASED)),
         NamedSharding(mesh, P()))
@@ -568,7 +581,7 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
                     num_walkers: int, walk_length: int, p: float,
                     q: float, spec_rounds: int, hash_log: int, cap: int,
                     ccap: int, max_phases: int, exchange: str,
-                    exchange_interpret: bool):
+                    exchange_interpret: bool, use_search: bool = False):
     """Cached jitted shard_map builder for the routed node2vec engine (same
     rationale as _routed_uniform_jit: the threefry key is a traced argument,
     so per-epoch seeds never retrace)."""
@@ -603,6 +616,28 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
                 tb.astype(jnp.uint32)], axis=1)
 
         def local_contains(t, cand):
+            if use_search:
+                # Binary search t's sorted row in the LOCAL col slice:
+                # exact, zero extra memory (the cuckoo set is not built at
+                # all under hashes=None).  Only RESOLVE lanes consume the
+                # answer; t is clipped into range for the others.
+                lt = jnp.clip(t - my * shard_nodes, 0, shard_nodes - 1)
+                trow = meta[lt]
+                lo = trow[:, 0].astype(jnp.int32)
+                hi = lo + trow[:, 1].astype(jnp.int32)
+
+                def body(_, lh):
+                    lo_, hi_ = lh
+                    active = lo_ < hi_
+                    mid = (lo_ + hi_) >> 1
+                    val = col[jnp.clip(mid, 0, e_max - 1)]
+                    go_right = val < cand
+                    return (jnp.where(active & go_right, mid + 1, lo_),
+                            jnp.where(active & ~go_right, mid, hi_))
+
+                lo, _ = lax.fori_loop(0, 32, body, (lo, hi))
+                at = col[jnp.clip(lo, 0, e_max - 1)]
+                return (lo < hi) & (at == cand)
             lo32 = cand.astype(jnp.uint32)
             hi32 = t.astype(jnp.uint32)
             hit = jnp.zeros(t.shape, bool)
@@ -1505,6 +1540,28 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
                 tb.astype(jnp.uint32)], axis=1)
 
         def local_contains(t, cand):
+            if use_search:
+                # Binary search t's sorted row in the LOCAL col slice:
+                # exact, zero extra memory (the cuckoo set is not built at
+                # all under hashes=None).  Only RESOLVE lanes consume the
+                # answer; t is clipped into range for the others.
+                lt = jnp.clip(t - my * shard_nodes, 0, shard_nodes - 1)
+                trow = meta[lt]
+                lo = trow[:, 0].astype(jnp.int32)
+                hi = lo + trow[:, 1].astype(jnp.int32)
+
+                def body(_, lh):
+                    lo_, hi_ = lh
+                    active = lo_ < hi_
+                    mid = (lo_ + hi_) >> 1
+                    val = col[jnp.clip(mid, 0, e_max - 1)]
+                    go_right = val < cand
+                    return (jnp.where(active & go_right, mid + 1, lo_),
+                            jnp.where(active & ~go_right, mid, hi_))
+
+                lo, _ = lax.fori_loop(0, 32, body, (lo, hi))
+                at = col[jnp.clip(lo, 0, e_max - 1)]
+                return (lo < hi) & (at == cand)
             lo32 = cand.astype(jnp.uint32)
             hi32 = t.astype(jnp.uint32)
             hit = jnp.zeros(t.shape, bool)

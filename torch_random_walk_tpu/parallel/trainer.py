@@ -192,9 +192,13 @@ class ShardedNode2Vec:
                 # Touched-rows lazy Adam: inlines under this jit, so XLA
                 # lays out the id sort/psum and the feature-local row
                 # scatters over the same mesh as the dense path.
+                # group_scatter=False: the grouped narrow-row-scatter
+                # view reshapes across the sharded feature axis and costs
+                # a full-table all-gather under P(None, model) — ~10x the
+                # dense step's collective bytes (trainer_traffic.py).
                 return self.model.walk_train_step_sparse(
                     params, opt_state, walks, neg_ids, cfg.window_size,
-                    cfg.window_size - 1)
+                    cfg.window_size - 1, group_scatter=False)
             loss, grads = jax.value_and_grad(self.model.walk_loss_fn)(
                 params, walks, neg_ids, cfg.window_size,
                 cfg.window_size - 1)
