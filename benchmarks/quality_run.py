@@ -248,39 +248,52 @@ def run_real_small(seed: int = 0, update_mode: str = "dense"):
         "train_sec": round(time.time() - t0, 1),
     })
 
-    # -- les miserables + davis women: link prediction --------------------
-    for gname, g in (("les-miserables", nx.les_miserables_graph()),
-                     ("davis-southern-women",
-                      nx.davis_southern_women_graph())):
+    # -- link prediction on every real network networkx bundles ----------
+    # (VERDICT r3 #7: >2 real points for the trained-readout protocol.)
+    # Tiny graphs make single 10%-holdout AUCs coarse (a handful of test
+    # edges), so each dataset averages ``n_splits`` independent holdout
+    # splits; florentine-families holds out 20% (10% of 20 edges = 2).
+    link_sets = (
+        ("les-miserables", nx.les_miserables_graph(), 0.1, 3),
+        ("davis-southern-women", nx.davis_southern_women_graph(), 0.1, 3),
+        ("florentine-families", nx.florentine_families_graph(), 0.2, 5),
+    )
+    for gname, g, frac, n_splits in link_sets:
         nodes = list(g.nodes)
         idx = {n: i for i, n in enumerate(nodes)}
         edges = np.asarray([(idx[u], idx[v]) for u, v in g.edges])
-        train_e, test_e = holdout_edges(edges, 0.1, seed)
-        src = np.concatenate([train_e[:, 0], train_e[:, 1]])
-        dst = np.concatenate([train_e[:, 1], train_e[:, 0]])
-        graph = CSRGraph.from_edges(src, dst, num_nodes=len(nodes))
-        cfg = Node2VecConfig(dim=32, walk_length=20, window_size=5,
-                             walks_per_node=16, p=0.5, q=2.0,
-                             learning_rate=2.5e-2, seed=seed,
-                             update_mode=update_mode)
-        n2v = Node2Vec(graph, cfg)
+        aucs, aucs_tr, losses_f = [], [], []
         t0 = time.time()
-        params, losses = n2v.train(num_epochs=150)
-        emb = np.asarray(n2v.embeddings(params), np.float32)
-        neg_e = sample_negative_edges(len(nodes), edges, len(test_e),
-                                      seed=seed + 1)
-        auc = link_prediction_auc(emb, test_e, neg_e, score="cosine")
-        auc_tr = link_prediction_auc_trained(emb, train_e, test_e, neg_e,
-                                             len(nodes), seed=seed)
+        for split in range(n_splits):
+            train_e, test_e = holdout_edges(edges, frac, seed + split)
+            src = np.concatenate([train_e[:, 0], train_e[:, 1]])
+            dst = np.concatenate([train_e[:, 1], train_e[:, 0]])
+            graph = CSRGraph.from_edges(src, dst, num_nodes=len(nodes))
+            cfg = Node2VecConfig(dim=32, walk_length=20, window_size=5,
+                                 walks_per_node=16, p=0.5, q=2.0,
+                                 learning_rate=2.5e-2, seed=seed + split,
+                                 update_mode=update_mode)
+            n2v = Node2Vec(graph, cfg)
+            params, losses = n2v.train(num_epochs=150)
+            emb = np.asarray(n2v.embeddings(params), np.float32)
+            neg_e = sample_negative_edges(len(nodes), edges, len(test_e),
+                                          seed=seed + split + 1)
+            aucs.append(link_prediction_auc(emb, test_e, neg_e,
+                                            score="cosine"))
+            aucs_tr.append(link_prediction_auc_trained(
+                emb, train_e, test_e, neg_e, len(nodes), seed=seed + split))
+            losses_f.append(float(losses[-1]))
         results.append({
             "dataset": f"{gname} (REAL)",
-            "nodes": graph.num_nodes, "edges": graph.num_edges,
-            "config": "node2vec p=0.5 q=2.0 dim=32 L=20 W=5 x16walks 150ep "
-                      "(10% edges held out)",
-            "link_pred_auc": round(float(auc), 4),
-            "link_pred_auc_trained": round(float(auc_tr), 4),
+            "nodes": len(nodes), "edges": len(edges) * 2,
+            "config": ("node2vec p=0.5 q=2.0 dim=32 L=20 W=5 x16walks "
+                       f"150ep ({int(frac * 100)}% held out, "
+                       f"mean of {n_splits} splits)"),
+            "link_pred_auc": round(float(np.mean(aucs)), 4),
+            "link_pred_auc_trained": round(float(np.mean(aucs_tr)), 4),
+            "link_pred_auc_std": round(float(np.std(aucs)), 4),
             "classification_acc": None,
-            "final_loss": round(float(losses[-1]), 4),
+            "final_loss": round(float(np.mean(losses_f)), 4),
             "train_sec": round(time.time() - t0, 1),
         })
     return results
