@@ -1540,28 +1540,11 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
                 tb.astype(jnp.uint32)], axis=1)
 
         def local_contains(t, cand):
-            if use_search:
-                # Binary search t's sorted row in the LOCAL col slice:
-                # exact, zero extra memory (the cuckoo set is not built at
-                # all under hashes=None).  Only RESOLVE lanes consume the
-                # answer; t is clipped into range for the others.
-                lt = jnp.clip(t - my * shard_nodes, 0, shard_nodes - 1)
-                trow = meta[lt]
-                lo = trow[:, 0].astype(jnp.int32)
-                hi = lo + trow[:, 1].astype(jnp.int32)
-
-                def body(_, lh):
-                    lo_, hi_ = lh
-                    active = lo_ < hi_
-                    mid = (lo_ + hi_) >> 1
-                    val = col[jnp.clip(mid, 0, e_max - 1)]
-                    go_right = val < cand
-                    return (jnp.where(active & go_right, mid + 1, lo_),
-                            jnp.where(active & ~go_right, mid, hi_))
-
-                lo, _ = lax.fori_loop(0, 32, body, (lo, hi))
-                at = col[jnp.clip(lo, 0, e_max - 1)]
-                return (lo < hi) & (at == cand)
+            # Edge-list membership keeps the CUCKOO path: its exact test
+            # must reproduce is_neighbor_edge's reference off-by-one
+            # (end-exclusive scan — SURVEY.md §2.4), which the per-shard
+            # edge sets encode; the CSR engine's search-membership
+            # alternative does not apply to range-table graphs.
             lo32 = cand.astype(jnp.uint32)
             hi32 = t.astype(jnp.uint32)
             hit = jnp.zeros(t.shape, bool)
