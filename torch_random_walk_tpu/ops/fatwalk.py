@@ -553,7 +553,7 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                    max(((num_walkers // frac) + 127) // 128 * 128, 256))
 
     level_caps = []
-    for frac in (2, 4, 16, 64, 256):
+    for frac in (2, 4, 8, 16, 32, 64, 128, 256):
         c = cap_of(frac)
         if not level_caps or c < level_caps[-1]:
             level_caps.append(c)
