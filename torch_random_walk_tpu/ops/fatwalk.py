@@ -1047,6 +1047,16 @@ def node2vec_walk_edge_list_fat(edge_tab, node_tab, hash_table, target_nodes,
     prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
     pad = jnp.int32(padding_idx)
     sentinel = num_walkers
+    # Tail capacity: measured r4 — WIDENING this is a 5x LOSS (0.51M vs
+    # 2.51M steps/s at B=64K with a floor-acceptance-sized ~0.84B cap):
+    # the two full-batch rounds resolve far more lanes than the
+    # worst-case acceptance floor predicts, so a wide tail mostly gathers
+    # padding.  The engine's 2.5M ceiling lives in the per-STEP
+    # synchronous structure itself (every step pays 2 full-B 3-gather
+    # rounds + a serialized tail while_loop) — the fix is the CSR
+    # engine's free-running rounds, not tail sizing (round-5 item,
+    # BENCHLOG r4 family snapshot).  Capacity never changes walk values
+    # (same per-lane counters), only where rounds are evaluated.
     tail_capacity = min(2048, num_walkers)
     tail_rounds = 8 if num_walkers >= 4096 else 1
     wid_full = common.walker_ids(num_walkers, walker_offset)
