@@ -597,3 +597,36 @@ class TestDrainBudgetPoison:
             fat6[0], fat6[1], es.table, targets, FatMeta.of(g), es.log_size,
             es.salt, 0.5, 2.0, 12, seed=8)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(full))
+
+
+class TestEdgeListFreerun:
+    """The r4 free-running biased edge-list engine vs the step-synchronous
+    cross-check: identical counters consumed in per-lane round order must
+    give bit-identical walks at any batch size, both restart modes."""
+
+    @pytest.mark.parametrize("restart", [True, False])
+    @pytest.mark.parametrize("num_walkers", [512, 4096])
+    def test_freerun_equals_stepwise(self, restart, num_walkers):
+        from torch_random_walk_tpu.graph.edge_list import EdgeListGraph
+
+        rng = np.random.default_rng(81)
+        n = 500
+        src = rng.integers(0, n, n * 5)
+        dst = rng.integers(0, n, n * 5)
+        keep = src < (3 * n) // 4  # dead ends exercise pad/jump
+        from torch_random_walk_tpu.ops.walk import _edge_set_for_edge_list
+
+        el = EdgeListGraph.from_arrays(
+            np.stack([src[keep], dst[keep]], axis=1), num_nodes=n)
+        es = _edge_set_for_edge_list(el)
+        targets = jnp.arange(num_walkers, dtype=jnp.int32) % n
+        kw = dict(meta=fatwalk.FatMeta(layout=el.layout, num_nodes=n,
+                                       num_edges=el.num_edges),
+                  hash_log_size=es.log_size,
+                  hash_salt=es.salt, p=0.5, q=2.0, walk_length=12,
+                  seed=9, padding_idx=n, restart=restart)
+        old = fatwalk._node2vec_edge_list_stepwise(
+            el.edge_tab, el.node_tab, es.table, targets, **kw)
+        new = fatwalk.node2vec_walk_edge_list_freerun(
+            el.edge_tab, el.node_tab, es.table, targets, **kw)
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))

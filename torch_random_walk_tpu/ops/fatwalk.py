@@ -1032,15 +1032,30 @@ def node2vec_walk_edge_list_fat(edge_tab, node_tab, hash_table, target_nodes,
                                 unroll=4):
     """Biased edge-list walks (padding/restart semantics), fat tables +
     cuckoo membership.  Bit-identical to
-    ops.edge_list_walk.biased_walk_edge_list (same counters, same acceptance:
-    candidate == t or == padding gates on prob_0; distance-1 on prob_1; else
-    prob_2; an accepted padding candidate moves to the jump node —
-    rw_cpu_edge_list.cpp:195-232 semantics).
+    ops.edge_list_walk.biased_walk_edge_list (same counters, same
+    acceptance — rw_cpu_edge_list.cpp:195-232 semantics).
 
-    Structure: two full-batch hashed rounds, then a compacted while_loop
-    tail (the straggler pattern of node2vec_walk_fat without the band/level
-    machinery — edge-list graphs in the wild are small enough that the
-    simpler shape measures fine).
+    Delegates to the free-running engine (r4); the step-synchronous
+    implementation below remains as a tested bit-identity cross-check
+    (_node2vec_edge_list_stepwise)."""
+    return node2vec_walk_edge_list_freerun(
+        edge_tab, node_tab, hash_table, target_nodes, meta, hash_log_size,
+        hash_salt, p, q, walk_length, seed, padding_idx, restart,
+        walker_offset, max_rounds)
+
+
+def _node2vec_edge_list_stepwise(edge_tab, node_tab, hash_table, target_nodes,
+                                 meta, hash_log_size, hash_salt, p, q,
+                                 walk_length, seed, padding_idx, restart,
+                                 walker_offset=0,
+                                 max_rounds=common.DEFAULT_MAX_ROUNDS,
+                                 unroll=4):
+    """Step-synchronous biased edge-list engine (pre-r4): two full-batch
+    hashed rounds per step, then a compacted while_loop tail — every step
+    pays the max-of-B-geometrics straggler wait (measured 2.5M steps/s at
+    B=64K where the free-running engine above runs one exact 3-gather
+    round per lane-step).  Kept as the bit-identity cross-check for the
+    freerun engine (tests/test_fatwalk.py asserts equality).
     """
     num_walkers = target_nodes.shape[0]
     key = prng.derive_key(seed, prng.STREAM_EDGE_BIASED)
@@ -1180,3 +1195,192 @@ def node2vec_walk_edge_list_fat(edge_tab, node_tab, hash_table, target_nodes,
     _, seq = lax.scan(step_fn, (cur0, v, v_start, v_cnt), steps,
                       unroll=min(unroll, walk_length - 1))
     return jnp.concatenate([cur0[:, None], v[:, None], seq.T], axis=1)
+
+
+def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
+                                    target_nodes, meta, hash_log_size,
+                                    hash_salt, p, q, walk_length, seed,
+                                    padding_idx, restart, walker_offset=0,
+                                    max_rounds=common.DEFAULT_MAX_ROUNDS,
+                                    rounds_per_block=3, slack=1.1,
+                                    round_unroll=None):
+    """Free-running biased edge-list walks — the r4 production engine.
+
+    The step-synchronous engine above pays, EVERY step, two full-batch
+    3-gather rounds plus a serialized compacted tail while_loop — the
+    max-of-B-geometrics shape the CSR engine abandoned in r2 (measured
+    2.5M steps/s at B=64K where CSR reaches 20M on the same graph scale).
+    Here each lane advances through its OWN walk: one draw per round
+    (1 fat-row gather + 2 cuckoo gathers — membership is exact in-round,
+    so no freeze/pend machinery is needed at all), then a multi-level
+    compacted straggler drain.  Draws consume the identical
+    (wid, step, round) threefry counters in per-lane round order, so
+    walks are bit-identical to the step-synchronous engine and the jnp
+    reference (asserted in tests/test_walks_edge_list.py +
+    tests/test_fatwalk.py).
+
+    Padding/restart semantics per rw_cpu_edge_list.cpp:195-232: a lane AT
+    padding draws its jump node (target if ``restart`` else padding); a
+    PAD candidate gates on prob_0 and an accept moves to the jump node.
+    """
+    num_walkers = target_nodes.shape[0]
+    key = prng.derive_key(seed, prng.STREAM_EDGE_BIASED)
+    prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
+    pad = jnp.int32(padding_idx)
+    length = walk_length
+    m = jnp.uint32(prng.MAX_ROUNDS_PER_STEP)
+    wid_full = common.walker_ids(num_walkers, walker_offset)
+    cols = jnp.arange(length + 2, dtype=jnp.int32)
+    if round_unroll is None:
+        round_unroll = (rounds_per_block
+                        if jax.default_backend() == "tpu" else 2)
+
+    a = max(min(prob_0, prob_1, prob_2), 0.05)
+    est_rounds = int(slack * max(length, 1) / a) + rounds_per_block
+    scan_blocks = max(est_rounds // rounds_per_block, 1)
+    drain_blocks = max_rounds // rounds_per_block + 2
+
+    cur0 = target_nodes.astype(jnp.int32)
+    safe0 = jnp.clip(cur0, 0, meta.num_nodes - 1)
+    _, start0, cnt0 = meta.layout.unpack(node_tab[safe0])
+    if restart:
+        jump0, js0, jc0 = cur0, start0, cnt0
+    else:
+        jump0 = jnp.full_like(cur0, pad)
+        js0 = jnp.zeros_like(start0)
+        jc0 = jnp.zeros_like(cnt0)
+
+    walks0 = jnp.zeros((num_walkers, length + 2), jnp.int32)
+    walks0 = walks0.at[:, 0].set(cur0)
+
+    def contains(u, v):
+        return _edge_set_contains(hash_table, hash_log_size, hash_salt, u, v)
+
+    def one_round(st, wid_s, ids):
+        t, v, vs, vc, j, js, jc, step, rnd, walks = st
+        active = step < length
+        s = step + 1
+        c1 = s.astype(jnp.uint32) * m + rnd
+        b_cand, b_acc = prng.counter_bits(key, wid_s, c1)
+        off = prng.randint_from_bits(b_cand, jnp.maximum(vc, 1))
+        e = jnp.clip(vs + off, 0, max(meta.num_edges - 1, 0))
+        tail, t_start, t_cnt = meta.layout.unpack(edge_tab[e])
+        at_pad = v == pad
+        has = vc > 0
+        cand = jnp.where(at_pad, j, jnp.where(has, tail, pad))
+        c_start = jnp.where(at_pad, js, jnp.where(has, t_start, 0))
+        c_cnt = jnp.where(at_pad, jc, jnp.where(has, t_cnt, 0))
+        r = prng.uniform_from_bits(b_acc)
+        is_t = cand == t
+        is_pad = cand == pad
+        nbr = contains(t, cand)
+        accept = jnp.where(is_t | is_pad, r < prob_0,
+                           jnp.where(nbr, r < prob_1, r < prob_2))
+        move_jump = is_pad & ~is_t
+        value = jnp.where(move_jump, j, cand)
+        val_s = jnp.where(move_jump, js, c_start)
+        val_c = jnp.where(move_jump, jc, c_cnt)
+        is_first = step == 0
+        # First hop: plain uniform draw, no acceptance, no pad->jump move
+        # (the walk lands on the drawn tail or absorbs at pad) — exactly
+        # the step-synchronous engine's first-hop block.
+        value = jnp.where(is_first, cand, value)
+        val_s = jnp.where(is_first, c_start, val_s)
+        val_c = jnp.where(is_first, c_cnt, val_c)
+        acc = active & (is_first | accept)
+        t = jnp.where(acc, v, t)
+        v = jnp.where(acc, value, v)
+        vs = jnp.where(acc, val_s, vs)
+        vc = jnp.where(acc, val_c, vc)
+        step = step + acc.astype(step.dtype)
+        rnd = jnp.where(acc, 0, rnd + (active & ~acc).astype(jnp.uint32))
+        if ids is None:
+            mask = acc[:, None] & (cols[None, :] == s[:, None])
+            walks = jnp.where(mask, value[:, None], walks)
+        else:
+            walks = walks.at[ids, jnp.where(acc, s, length + 1)].set(
+                value, indices_are_sorted=True, unique_indices=True)
+        return t, v, vs, vc, j, js, jc, step, rnd, walks
+
+    def block(st, wid_s=None, ids=None):
+        wid_s = wid_full if wid_s is None else wid_s
+        return lax.scan(lambda s_, _: (one_round(s_, wid_s, ids), 0), st,
+                        None, length=rounds_per_block,
+                        unroll=round_unroll)[0]
+
+    state = (cur0, cur0, start0, cnt0, jump0, js0, jc0,
+             jnp.zeros((num_walkers,), jnp.int32),
+             jnp.zeros((num_walkers,), jnp.uint32), walks0)
+    # t starts as cur0 (never consulted at step 0: first hop accepts any).
+    state, _ = lax.scan(lambda st, _: (block(st), 0), state,
+                        jnp.arange(scan_blocks))
+
+    def active_count(st):
+        return jnp.sum((st[7] < length).astype(jnp.int32))
+
+    def cap_of(frac):
+        return min(num_walkers,
+                   max(((num_walkers // frac) + 127) // 128 * 128, 256))
+
+    level_caps = []
+    for frac in (2, 4, 8, 16, 32, 64, 128, 256):
+        c = cap_of(frac)
+        if not level_caps or c < level_caps[-1]:
+            level_caps.append(c)
+
+    def compact_level(st, wid_s, ids_rows, c):
+        t, v, vs, vc, j, js, jc, step, rnd, walks = st
+        size = step.shape[0]
+        active = step < length
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        lost = active & (rank >= c)
+        g_all = (jnp.arange(size, dtype=jnp.int32) if ids_rows is None
+                 else ids_rows)
+        walks = walks.at[
+            jnp.where(lost, jnp.minimum(g_all, num_walkers), num_walkers),
+            length].set(-1, mode="drop")
+        idx = _compact(active, c)
+        safe = jnp.minimum(idx, size - 1)
+        act = idx < size
+        src_rows = idx if ids_rows is None else ids_rows[safe]
+        new_ids = jnp.where(act, src_rows, num_walkers)
+        sub = (t[safe], v[safe], vs[safe], vc[safe], j[safe], js[safe],
+               jc[safe], jnp.where(act, step[safe], length), rnd[safe],
+               walks)
+        return sub, wid_s[safe], new_ids
+
+    budget = jnp.int32(drain_blocks)
+    cur_wid, cur_ids = wid_full, None
+    for c in level_caps:
+        kw = dict(wid_s=cur_wid, ids=cur_ids)
+
+        def guard_cond(carry, _c=c):
+            st, n = carry
+            return (active_count(st) > _c) & (n < budget)
+
+        def guard_body(carry, _kw=kw):
+            st, n = carry
+            return block(st, **_kw), n + 1
+
+        state, used = lax.while_loop(guard_cond, guard_body,
+                                     (state, jnp.int32(0)))
+        budget = budget - used
+        state, cur_wid, cur_ids = compact_level(state, cur_wid, cur_ids, c)
+
+    last_kw = dict(wid_s=cur_wid, ids=cur_ids)
+
+    def final_cond(carry):
+        st, n = carry
+        return jnp.any(st[7] < length) & (n < budget)
+
+    state, _ = lax.while_loop(
+        final_cond, lambda carry: (block(carry[0], **last_kw), carry[1] + 1),
+        (state, jnp.int32(0)))
+    step_f, walks_f = state[7], state[9]
+    size_f = step_f.shape[0]
+    g_f = (jnp.arange(size_f, dtype=jnp.int32) if cur_ids is None
+           else cur_ids)
+    walks_f = walks_f.at[
+        jnp.where(step_f < length, jnp.minimum(g_f, num_walkers),
+                  num_walkers), length].set(-1, mode="drop")
+    return walks_f[:, : length + 1]
