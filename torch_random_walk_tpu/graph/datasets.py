@@ -189,6 +189,11 @@ def synthetic_sbm(num_nodes: int, num_blocks: int, avg_degree: float,
     return g, labels, edges
 
 
+# Version token for the synthetic_power_law on-disk cache (ADVICE r4):
+# bump when the edge construction in synthetic_power_law changes.
+_POWERLAW_GEN_VERSION = "v1"
+
+
 def synthetic_power_law(num_nodes: int, avg_degree: int,
                         seed: int = 0, cache_root: str | None = None
                         ) -> CSRGraph:
@@ -202,10 +207,23 @@ def synthetic_power_law(num_nodes: int, avg_degree: int,
     cache_root = cache_root or os.environ.get("TRW_GRAPH_CACHE")
     cache = None
     if cache_root and num_nodes >= 500_000:
+        # The generator version rides in the filename (ADVICE r4): bump
+        # _POWERLAW_GEN_VERSION whenever the construction below changes, or
+        # stale cached graphs would load silently and benchmarks would
+        # compare against a different graph than freshly generated ones.
+        # Legacy unversioned files predate the token but were written by
+        # this exact v1 construction, so they remain valid for v1 only.
         cache = os.path.join(
+            cache_root,
+            f"powerlaw_{_POWERLAW_GEN_VERSION}_"
+            f"{num_nodes}_{avg_degree}_{seed}.npz")
+        legacy = os.path.join(
             cache_root, f"powerlaw_{num_nodes}_{avg_degree}_{seed}.npz")
-        if os.path.exists(cache):
-            with np.load(cache) as data:
+        found = next((p for p in (cache, legacy)
+                      if os.path.exists(p)), None)
+        if found is not None and (found == cache
+                                  or _POWERLAW_GEN_VERSION == "v1"):
+            with np.load(found) as data:
                 return CSRGraph.from_arrays(data["row_ptr"],
                                             data["col_idx"],
                                             sort_rows=False)

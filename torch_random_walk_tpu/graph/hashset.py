@@ -83,6 +83,15 @@ class EdgeHashSet:
 
     @classmethod
     def from_edges(cls, src, dst, max_rounds: int = 256) -> "EdgeHashSet":
+        table, log_size, salt = cls.host_build(src, dst, max_rounds)
+        return cls(table=jnp.asarray(table), log_size=log_size, salt=salt)
+
+    @classmethod
+    def host_build(cls, src, dst, max_rounds: int = 256):
+        """Build the table HOST-side: (numpy (S, 2) table, log_size, salt).
+        Callers that cache tables on disk use this to avoid a device
+        round-trip (jnp.asarray then np.asarray would ship the table over
+        the TPU tunnel twice)."""
         n = np.asarray(src).shape[0]
         # 2.5x sizing -> load factor <= 0.4 (cuckoo-safe; the build retries
         # with log_size + 1 on failure).  The previous 4x sizing put the
@@ -91,16 +100,24 @@ class EdgeHashSet:
         # distance-1 test (BENCHLOG.md).
         log_size = max(4, int(np.ceil(np.log2(max(2.5 * n, 16)))))
         try:
-            return cls.from_edges_with_log_size(src, dst, log_size, max_rounds)
+            return cls._host_build_with_log_size(src, dst, log_size,
+                                                 max_rounds)
         except RuntimeError:
-            return cls.from_edges_with_log_size(src, dst, log_size + 1,
-                                                max_rounds)
+            return cls._host_build_with_log_size(src, dst, log_size + 1,
+                                                 max_rounds)
 
     @classmethod
     def from_edges_with_log_size(cls, src, dst, log_size: int,
                                  max_rounds: int = 256) -> "EdgeHashSet":
         """Build with an explicit table size (e.g. shared across graph
         partitions so shard_map sees one static shape)."""
+        table, log_size, salt = cls._host_build_with_log_size(
+            src, dst, log_size, max_rounds)
+        return cls(table=jnp.asarray(table), log_size=log_size, salt=salt)
+
+    @classmethod
+    def _host_build_with_log_size(cls, src, dst, log_size: int,
+                                  max_rounds: int = 256):
         src = np.asarray(src, np.uint32)
         dst = np.asarray(dst, np.uint32)
         size = 1 << log_size
@@ -113,7 +130,7 @@ class EdgeHashSet:
                                     dst.astype(np.int64), log_size)
         if built is not None:
             table, salt = built
-            return cls(table=jnp.asarray(table), log_size=log_size, salt=salt)
+            return table, log_size, salt
 
         for salt in range(64):  # rehash attempts
             tbl_lo = np.full(size, _EMPTY, np.uint32)
@@ -149,11 +166,7 @@ class EdgeHashSet:
                 choice[ev_idx] ^= 1
                 pending = np.concatenate([pending[~landed], ev_idx])
             if ok:
-                return cls(
-                    table=jnp.asarray(np.stack([tbl_lo, tbl_hi], axis=1)),
-                    log_size=log_size,
-                    salt=salt,
-                )
+                return np.stack([tbl_lo, tbl_hi], axis=1), log_size, salt
         raise RuntimeError("cuckoo build failed to converge (pathological input)")
 
     def contains(self, u, v):

@@ -192,13 +192,17 @@ class ShardedNode2Vec:
                 # Touched-rows lazy Adam: inlines under this jit, so XLA
                 # lays out the id sort/psum and the feature-local row
                 # scatters over the same mesh as the dense path.
-                # group_scatter=False: the grouped narrow-row-scatter
-                # view reshapes across the sharded feature axis and costs
-                # a full-table all-gather under P(None, model) — ~10x the
-                # dense step's collective bytes (trainer_traffic.py).
+                # group_scatter only when the model axis is trivial: the
+                # grouped narrow-row-scatter view reshapes across the
+                # sharded feature axis and costs a full-table all-gather
+                # under P(None, model) — ~10x the dense step's collective
+                # bytes (trainer_traffic.py).  Pure data-parallel meshes
+                # (model-axis size 1) keep no feature sharding, so they
+                # keep the ~5x grouped-scatter win (ADVICE r4).
+                mp_size = dict(self.mesh.shape).get(cfg.model_axis, 1)
                 return self.model.walk_train_step_sparse(
                     params, opt_state, walks, neg_ids, cfg.window_size,
-                    cfg.window_size - 1, group_scatter=False)
+                    cfg.window_size - 1, group_scatter=(mp_size == 1))
             loss, grads = jax.value_and_grad(self.model.walk_loss_fn)(
                 params, walks, neg_ids, cfg.window_size,
                 cfg.window_size - 1)
