@@ -410,6 +410,68 @@ class TestBloomBranch:
             np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
 
 
+class TestVirtualLanes:
+    """walks_per_lane (r5) is a pure performance knob: lane l advances
+    walker ids l, lanes+l, 2*lanes+l back to back, draws stay keyed by
+    (global walker id, step, round), so walks must be BIT-IDENTICAL for
+    every V — including under chunked walker_offset launches and the
+    exhausted-budget poison path."""
+
+    def _walks(self, g, targets, v, **kw):
+        from torch_random_walk_tpu.ops.walk import fat6_for
+        es = edge_set_for(g)
+        return np.asarray(fatwalk.node2vec_walk_fat(
+            g.edge_tab, g.node_tab, es.table, targets, FatMeta.of(g),
+            es.log_size, es.salt, 0.5, 2.0, 12, seed=13, fat6=fat6_for(g),
+            walks_per_lane=v, **kw))
+
+    @pytest.mark.parametrize("v", [2, 4])
+    def test_v_invariant(self, v):
+        g = random_graph(400, 6, seed=81)
+        targets = jnp.arange(4096, dtype=jnp.int32) % g.num_nodes
+        np.testing.assert_array_equal(self._walks(g, targets, 1),
+                                      self._walks(g, targets, v))
+
+    def test_v_invariant_dead_ends(self):
+        g = random_graph(400, 5, seed=82, with_dead_ends=True)
+        targets = jnp.arange(4096, dtype=jnp.int32) % g.num_nodes
+        np.testing.assert_array_equal(self._walks(g, targets, 1),
+                                      self._walks(g, targets, 4))
+
+    def test_v_chunked_offsets(self):
+        g = random_graph(400, 6, seed=83)
+        targets = jnp.arange(8192, dtype=jnp.int32) % g.num_nodes
+        full = self._walks(g, targets, 2)
+        lo = self._walks(g, targets[:4096], 2, walker_offset=0)
+        hi = self._walks(g, targets[4096:], 2, walker_offset=4096)
+        np.testing.assert_array_equal(full, np.concatenate([lo, hi]))
+
+    def test_v_indivisible_falls_back(self):
+        g = random_graph(400, 6, seed=84)
+        targets = jnp.arange(4095, dtype=jnp.int32) % g.num_nodes
+        np.testing.assert_array_equal(self._walks(g, targets, 1),
+                                      self._walks(g, targets, 4))
+
+    @pytest.mark.parametrize("restart", [True, False])
+    def test_v_invariant_edge_list(self, restart):
+        from torch_random_walk_tpu.graph.edge_list import EdgeListGraph
+        from torch_random_walk_tpu.ops.walk import _edge_set_for_edge_list
+        rng = np.random.default_rng(85)
+        n = 300
+        src = rng.integers(0, n, 1800)
+        dst = rng.integers(0, n, 1800)
+        keep = src < (3 * n) // 4  # dead ends exercise the pad/jump path
+        g = EdgeListGraph.from_arrays(
+            np.stack([src[keep], dst[keep]], axis=1), num_nodes=n)
+        es = _edge_set_for_edge_list(g)
+        targets = jnp.arange(4096, dtype=jnp.int32) % n
+        outs = [np.asarray(fatwalk.node2vec_walk_edge_list_fat(
+            g.edge_tab, g.node_tab, es.table, targets, FatMeta.of(g),
+            es.log_size, es.salt, 0.5, 2.0, 12, 7, n, restart,
+            walks_per_lane=v)) for v in (1, 4)]
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+
 class TestMixtureSampler:
     """The composition-envelope sampler (production default): fat freerun
     mixture must equal the jnp mixture reference bit-for-bit, and the jnp

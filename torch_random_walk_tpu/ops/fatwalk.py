@@ -216,7 +216,7 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                       hash_log_size, hash_salt, p, q, walk_length, seed,
                       walker_offset=0, max_rounds=common.DEFAULT_MAX_ROUNDS,
                       rounds_per_block=None, slack=1.05, round_unroll=None,
-                      sampler="mixture"):
+                      sampler="mixture", walks_per_lane=None):
     """Free-running biased rounds — the production CSR node2vec engine.
 
     Every per-step structure (compacted levels, per-step tails) is gone:
@@ -245,6 +245,18 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
 
     Loop = lax.scan over enough blocks for the expected round count, then a
     while_loop drain for stragglers (bounded by ``max_rounds``).
+
+    **Virtual lanes (r5)**: with ``walks_per_lane = V > 1`` the engine runs
+    ``B / V`` physical lanes, each advancing V whole walks back to back
+    (lane ``l`` walks walker ids ``l``, ``lanes + l``, ``2*lanes + l``, …).
+    A lane that finishes walk ``k`` is refilled with walk ``k+1``'s start
+    node at the next exact pass.  This is the work-stealing answer to the
+    r4 anatomy's ~11% straggler-spread idle (BENCHLOG r4): per-lane round
+    counts concentrate as sums of V walks (sigma/mu ~ 1/sqrt(V·L)), and the
+    multi-level drain runs once per V walks instead of per walk.  Draws are
+    pure functions of (global walker id, step, round), so walks are
+    BIT-IDENTICAL for every V — V is a performance knob like ``unroll``,
+    never a semantics knob (asserted in tests/test_fatwalk.py).
     """
     num_walkers = target_nodes.shape[0]
     key = prng.derive_key(seed, prng.STREAM_CSR_BIASED)
@@ -258,11 +270,28 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     mix = sampler == "mixture"
     mi, ei, wt_i, w1_i, w2_i = _mixture_consts(p, q, meta.layout.deg_bits)
     lo_i, hi_i = min(w1_i, w2_i), max(w1_i, w2_i)
-    wid = common.walker_ids(num_walkers, walker_offset)
     unpack3 = meta.layout.unpack
     length = walk_length
     cols = jnp.arange(length + 2, dtype=jnp.int32)
     m = jnp.uint32(prng.MAX_ROUNDS_PER_STEP)
+
+    # Virtual lanes: V whole walks per physical lane (see docstring).  Auto
+    # choice keeps lanes wide enough that the per-round gather stays on the
+    # flat part of the gather-rate curve (>= 16K rows — r4 width sweeps);
+    # V must divide B (walk rows reshape to (V, lanes)).  V=1 reproduces
+    # the r4 engine exactly.
+    V = walks_per_lane
+    if V is None:
+        V = 1
+        if length >= 16:
+            for cand_v in (4, 2):
+                if num_walkers % cand_v == 0 and num_walkers // cand_v >= 16384:
+                    V = cand_v
+                    break
+    elif num_walkers % V:
+        V = 1
+    lanes = num_walkers // V
+    lane_ids0 = jnp.arange(lanes, dtype=jnp.int32)
     # Exact-pass capacity must cover the frozen INFLOW of a whole block, or
     # a backlog forms and lane utilization collapses (frozen lanes stall).
     # Inflow/draw = band fraction x Bloom false-positive rate; the pass is
@@ -307,24 +336,33 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         else:
             wide = int(edge_tab6.shape[1]) > 8
             round_unroll = 1 if wide else min(rounds_per_block, 4)
-    inflow = 1.4 * fp_est * band_frac * rounds_per_block * num_walkers
-    exact_cap = int(min(num_walkers,
-                        max(((int(inflow) + 127) // 128) * 128, 256)))
-
     if mix:
         # Mean rounds ~= envelope acceptance floor lo_i / mi.
         a = max(min(lo_i / mi, 1.0), 0.05)
     else:
         a = max(min(lo_acc, 1.0), 0.05)
-    est_rounds = int(slack * length / a) + rounds_per_block
+    # Exact-pass inflow per block: frozen draws (freeze_rate per draw) plus,
+    # under virtual lanes, walk completions awaiting refill (a lane finishes
+    # a walk every ~L/a rounds).
+    refill_rate = a / max(length, 1) if V > 1 else 0.0
+    inflow = (1.4 * fp_est * band_frac + 2.0 * refill_rate) \
+        * rounds_per_block * lanes
+    exact_cap = int(min(lanes, max(((int(inflow) + 127) // 128) * 128, 256)))
+
+    # The scan phase must cover V whole walks per lane, plus the refill
+    # stalls (a completed lane idles until its block's exact pass —
+    # ~rpb/2 rounds per refill).
+    est_rounds = (int(slack * V * length / a)
+                  + (V - 1) * rounds_per_block + rounds_per_block)
     scan_blocks = max(est_rounds // rounds_per_block, 1)
     drain_blocks = max_rounds // rounds_per_block + 2
 
-    t0 = target_nodes.astype(jnp.int32)
+    all_t0 = target_nodes.astype(jnp.int32)     # (B,) — indexed at refill
+    t0 = all_t0[:lanes]                          # slot-0 walks
     row0 = node_tab6[jnp.clip(t0, 0, meta.num_nodes - 1)]
 
     walks0 = jnp.zeros((num_walkers, length + 2), jnp.int32)
-    walks0 = walks0.at[:, 0].set(t0)
+    walks0 = walks0.at[:, 0].set(all_t0)
 
     def contains(u, v):
         return _edge_set_contains(hash_table, hash_log_size, hash_salt, u, v)
@@ -393,14 +431,16 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         return (rows, cand, spike, dead, acc_n, rej_n, e,
                 r < prob_1, r < prob_2)
 
-    # --- merged lane state (r4 exact-pass redesign) -----------------------
-    # One (lanes, 2W+4) uint32 array instead of six parallel arrays:
+    # --- merged lane state (r4 exact-pass redesign; r5 virtual lanes) -----
+    # One (lanes, 2W+5) uint32 array instead of six parallel arrays:
     #
     #   [:, :W]      t row        [:, W:2W]   v row
     #   [:, 2W]      step         [:, 2W+1]   rnd | FROZEN<<31
     #                                             | ACC_IF_NBR<<30
     #                                             | ACC_IF_NOT<<29
     #   [:, 2W+2]    pend_cand    [:, 2W+3]   pend_e
+    #   [:, 2W+4]    k            (virtual-walk slot; walker id
+    #                              = offset + k*lanes + lane)
     #
     # Rationale (BENCHLOG r4 pass anatomy): the exact pass was ~3.7 ms of
     # every 4-round block — over half of it the SIX per-array scatters, a
@@ -415,16 +455,31 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     # draw, so bit-identity with the jnp oracles is preserved.
     W = int(edge_tab6.shape[1])
     C_STEP, C_RND, C_CAND, C_PEND_E = 2 * W, 2 * W + 1, 2 * W + 2, 2 * W + 3
+    C_K = 2 * W + 4
     F_FROZEN = jnp.uint32(1 << 31)
     F_ACC_NBR = jnp.uint32(1 << 30)
     F_ACC_NOT = jnp.uint32(1 << 29)
     RND_MASK = jnp.uint32((1 << 16) - 1)
+    slot_ids = jnp.arange(V, dtype=jnp.int32)
 
-    def one_round(st, wid_s, ids):
+    def walk_rows_of(S, lane_s):
+        """Walk-array row (global-in-batch walker index) of each lane's
+        CURRENT walk; compaction-padding lanes (sentinel id ``lanes``) go
+        out of bounds == dropped by the scatter."""
+        k = S[:, C_K].astype(jnp.int32)
+        return jnp.where(lane_s >= lanes, num_walkers, k * lanes + lane_s)
+
+    def wid_of(S, lane_s):
+        k = S[:, C_K].astype(jnp.int32)
+        return (jnp.uint32(walker_offset)
+                + (k * lanes + jnp.minimum(lane_s, lanes - 1))
+                .astype(jnp.uint32))
+
+    def one_round(st, lane_s, compacted):
         """One free-running round over the lanes in ``st = (S, walks)``.
-        ``ids`` is None for the full-batch phases (emission = masked
-        select) or the global lane ids of a compacted subset (emission =
-        sorted scatter)."""
+        ``compacted`` False = full-width phase (emission = masked select
+        over the (V, lanes) walk-row view); True = drain subset (emission
+        = scatter at per-lane computed walk rows)."""
         S, walks = st
         t_row = S[:, :W]
         v_row = S[:, W:2 * W]
@@ -436,13 +491,14 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         s = step + 1
         c1 = s.astype(jnp.uint32) * m + rnd
         rows, cand, spike, dead, acc_n, rej_n, e, accA, accB = classify2(
-            t_row, v_row, wid_s, c1)
+            t_row, v_row, wid_of(S, lane_s), c1)
         is_first = step == 0
         acc = active & (is_first | dead | acc_n)
         rej = active & ~acc & rej_n & ~is_first & ~dead
         frz = active & ~acc & ~rej
         new_t_row = jnp.where(acc[:, None], v_row, t_row)
         new_v_row = jnp.where(acc[:, None], rows, v_row)
+        k_col = S[:, C_K]
         step = step + acc.astype(step.dtype)
         rnd = jnp.where(acc, 0, rnd + rej.astype(jnp.uint32))
         rw = (rnd
@@ -455,76 +511,116 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         pend_e = jnp.where(frz, e.astype(jnp.uint32), S[:, C_PEND_E])
         S = jnp.concatenate(
             [new_t_row, new_v_row, step.astype(jnp.uint32)[:, None],
-             rw[:, None], pend_cand[:, None], pend_e[:, None]], axis=1)
-        if ids is None:
+             rw[:, None], pend_cand[:, None], pend_e[:, None],
+             k_col[:, None]], axis=1)
+        if not compacted:
             # Emit via masked select, not scatter: a full-B dynamic-column
             # scatter costs ~1.5ms/round on the TPU scatter path, while the
-            # (B, L+2) select is plain VPU + streaming HBM traffic.
-            mask = acc[:, None] & (cols[None, :] == s[:, None])
-            walks = jnp.where(mask, cand[:, None], walks)
+            # (V, lanes, L+2) select is plain VPU + streaming HBM traffic
+            # (same element count as the (B, L+2) select at V == 1).
+            k = k_col.astype(jnp.int32)
+            w3 = walks.reshape(V, lanes, length + 2)
+            mask = (acc[None, :, None]
+                    & (slot_ids[:, None, None] == k[None, :, None])
+                    & (cols[None, None, :] == s[None, :, None]))
+            walks = jnp.where(mask, cand[None, :, None], w3).reshape(
+                num_walkers, length + 2)
         else:
-            # Compacted drain: ids are ascending with an OOB-padded tail
-            # (== dropped), non-accepting lanes write the junk column.
-            walks = walks.at[ids, jnp.where(acc, s, length + 1)].set(
-                cand, indices_are_sorted=True, unique_indices=True)
+            # Compacted drain: per-lane walk rows (k*lanes + lane; OOB ==
+            # dropped), non-accepting lanes write the junk column.  Rows
+            # are unique ((k, lane) pairs) but only sorted when V == 1.
+            walks = walks.at[walk_rows_of(S, lane_s),
+                             jnp.where(acc, s, length + 1)].set(
+                cand, indices_are_sorted=(V == 1), unique_indices=True)
         return S, walks
 
-    def exact_pass(st, wid_s, ids, cap):
+    def exact_pass(st, lane_s, cap):
         """Serve frozen lanes from their RECORDED pending draw: compact →
         one state gather → cuckoo membership → precomputed outcome →
         one state scatter + the walk scatter.  No redraw happens, so the
-        resolved value equals the frozen round's draw bit-for-bit."""
+        resolved value equals the frozen round's draw bit-for-bit.
+
+        Under virtual lanes the pass also REFILLS lanes whose current walk
+        finished (step == length, k < V-1): they restart at walk k+1's
+        start node with step = rnd = 0.  Refill is disjoint from frozen
+        (a frozen lane's pending draw is at step < length)."""
         S, walks = st
         size = S.shape[0]
         frozen = (S[:, C_RND] & F_FROZEN) != 0
-        idx = _compact(frozen, cap)
+        if V > 1:
+            refill = ((S[:, C_STEP].astype(jnp.int32) >= length)
+                      & (S[:, C_K].astype(jnp.int32) < V - 1)
+                      & (lane_s < lanes))
+            need = frozen | refill
+        else:
+            need = frozen
+        idx = _compact(need, cap)
         safe = jnp.minimum(idx, size - 1)
         act = idx < size
         Ss = S[safe]
+        lane_sub = lane_s[safe]
         t = unpack3(Ss[:, :2])[0]
         cand = Ss[:, C_CAND].astype(jnp.int32)
         hit = contains(t, cand)
         rw_s = Ss[:, C_RND]
-        acc = act & jnp.where(hit, (rw_s & F_ACC_NBR) != 0,
-                              (rw_s & F_ACC_NOT) != 0)
+        is_frz = act & ((rw_s & F_FROZEN) != 0)
+        acc = is_frz & jnp.where(hit, (rw_s & F_ACC_NBR) != 0,
+                                 (rw_s & F_ACC_NOT) != 0)
         e = jnp.clip(Ss[:, C_PEND_E].astype(jnp.int32), 0,
                      max(meta.num_edges - 1, 0))
         rows = edge_tab6[e]
         step_s = Ss[:, C_STEP].astype(jnp.int32)
         s_s = step_s + 1
+        k_s = Ss[:, C_K].astype(jnp.int32)
         new_t = jnp.where(acc[:, None], Ss[:, W:2 * W], Ss[:, :W])
         new_v = jnp.where(acc[:, None], rows, Ss[:, W:2 * W])
         new_step = step_s + acc.astype(step_s.dtype)
         new_rw = jnp.where(acc, 0, (rw_s & RND_MASK)
-                           + act.astype(jnp.uint32))
+                           + is_frz.astype(jnp.uint32))
+        new_k = k_s
+        if V > 1:
+            is_rf = act & ~is_frz
+            nxt_widx = jnp.clip((k_s + 1) * lanes
+                                + jnp.minimum(lane_sub, lanes - 1),
+                                0, num_walkers - 1)
+            t_new = all_t0[nxt_widx]
+            nrow = node_tab6[jnp.clip(t_new, 0, meta.num_nodes - 1)]
+            new_t = jnp.where(is_rf[:, None], nrow, new_t)
+            new_v = jnp.where(is_rf[:, None], nrow, new_v)
+            new_step = jnp.where(is_rf, 0, new_step)
+            new_rw = jnp.where(is_rf, 0, new_rw)
+            new_k = jnp.where(is_rf, k_s + 1, k_s)
         Snew = jnp.concatenate(
             [new_t, new_v, new_step.astype(jnp.uint32)[:, None],
              new_rw[:, None], Ss[:, C_CAND][:, None],
-             Ss[:, C_PEND_E][:, None]], axis=1)
-        kw = dict(indices_are_sorted=True, unique_indices=True)
+             Ss[:, C_PEND_E][:, None],
+             new_k.astype(jnp.uint32)[:, None]], axis=1)
         i_act = jnp.where(act, idx, size)
-        S = S.at[i_act].set(Snew, **kw)
-        # Walk rows are addressed by GLOBAL lane id (identity in the
-        # full-batch phases); ids[safe] stays ascending because compaction
-        # indices are.
-        g_rows = jnp.where(act, idx if ids is None else ids[safe],
+        S = S.at[i_act].set(Snew, indices_are_sorted=True,
+                            unique_indices=True)
+        # Frozen lanes' walk rows by (k, lane); refill/padding lanes land
+        # in the junk column (or out of bounds == dropped).
+        g_rows = jnp.where(is_frz,
+                           jnp.where(lane_sub >= lanes, num_walkers,
+                                     k_s * lanes + lane_sub),
                            num_walkers)
         walks = walks.at[g_rows, jnp.where(acc, s_s, length + 1)].set(
-            cand, **kw)
+            cand, indices_are_sorted=(V == 1), unique_indices=True)
         return S, walks
 
-    def block(st, wid_s=None, ids=None, cap=None):
+    def block(st, lane_s=None, compacted=False, cap=None):
         # Rounds run under lax.scan (partially unrolled): fully Python-
         # unrolled round chains make XLA compile time explode (~2s/round
         # on CPU) for zero runtime gain.
-        wid_s = wid if wid_s is None else wid_s
+        lane_s = lane_ids0 if lane_s is None else lane_s
         cap = exact_cap if cap is None else cap
-        st = lax.scan(lambda s_, _: (one_round(s_, wid_s, ids), 0), st, None,
-                      length=rounds_per_block, unroll=round_unroll)[0]
-        return exact_pass(st, wid_s, ids, cap)
+        st = lax.scan(lambda s_, _: (one_round(s_, lane_s, compacted), 0),
+                      st, None, length=rounds_per_block,
+                      unroll=round_unroll)[0]
+        return exact_pass(st, lane_s, cap)
 
     S0 = jnp.concatenate(
-        [row0, row0, jnp.zeros((num_walkers, 4), jnp.uint32)], axis=1)
+        [row0, row0, jnp.zeros((lanes, 5), jnp.uint32)], axis=1)
     state = (S0, walks0)
     state, _ = lax.scan(lambda st, _: (block(st), 0), state,
                         jnp.arange(scan_blocks))
@@ -532,8 +628,16 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     def step_of(st):
         return st[0][:, C_STEP].astype(jnp.int32)
 
+    def lane_active(st):
+        """A lane still has work: current walk unfinished, or more virtual
+        walks queued behind it."""
+        if V == 1:
+            return step_of(st) < length
+        return ((step_of(st) < length)
+                | (st[0][:, C_K].astype(jnp.int32) < V - 1))
+
     def active_count(st):
-        return jnp.sum((step_of(st) < length).astype(jnp.int32))
+        return jnp.sum(lane_active(st).astype(jnp.int32))
 
     # Straggler drain.  Lane completion rounds concentrate around the mean
     # (sum of L geometrics: sigma/mu ~ 1/sqrt(L)), so the scan phase covers
@@ -549,8 +653,7 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     # (wid, step, round), so WHERE a round is evaluated never changes WHAT
     # it evaluates to — bit-identity with the jnp oracles is preserved.
     def cap_of(frac):
-        return min(num_walkers,
-                   max(((num_walkers // frac) + 127) // 128 * 128, 256))
+        return min(lanes, max(((lanes // frac) + 127) // 128 * 128, 256))
 
     level_caps = []
     for frac in (2, 4, 8, 16, 32, 64, 128, 256):
@@ -560,53 +663,56 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
 
     def pass_cap_for(width: int) -> int:
         """Exact-pass capacity scaled to the CURRENT lane width: the frozen
-        inflow of one block is ~freeze_rate*rpb*width (2x margin for the
-        straggler tail's above-average freeze density; overflowing lanes
-        simply wait one more block — never dropped)."""
-        raw = int(2.0 * freeze_rate * rounds_per_block * width)
+        (+ refill, under virtual lanes) inflow of one block is
+        ~(freeze_rate + refill_rate)*rpb*width (2x margin for the straggler
+        tail's above-average freeze density; overflowing lanes simply wait
+        one more block — never dropped)."""
+        raw = int(2.0 * (freeze_rate + refill_rate)
+                  * rounds_per_block * width)
         return min(exact_cap, width, max(((raw + 127) // 128) * 128, 256))
 
-    def compact_level(st, wid_s, ids_rows, c):
-        """Compact the active lanes of ``st`` into a c-lane level.  Padding
-        lanes clone the last real lane (reads are safe; writes go to the
-        OOB row / junk column and drop) and are marked done (step=length)
-        so they never participate.
+    def compact_level(st, lane_s, c):
+        """Compact the lanes of ``st`` that still have work into a c-lane
+        level.  Padding lanes clone the last real lane (reads are safe;
+        writes go to the OOB row / junk column and drop) and are marked
+        done (step=length, k=V-1) so they never participate.
 
         Loud incompleteness (ADVICE r3): if the drain budget was exhausted
         while more than ``c`` lanes are still active, the overflow lanes
-        can no longer be tracked — their walk rows get ``-1`` scattered
-        into the final position instead of being silently truncated (the
-        single-chip analog of the routed engines' completeness check; when
-        nothing overflows every poison index is out of bounds and the
-        scatter is a no-op, preserving bit-identity)."""
+        can no longer be tracked — their CURRENT walk rows get ``-1``
+        scattered into the final position instead of being silently
+        truncated (the single-chip analog of the routed engines'
+        completeness check; when nothing overflows every poison index is
+        out of bounds and the scatter is a no-op, preserving
+        bit-identity)."""
         S, walks = st
         size = S.shape[0]
-        step = S[:, C_STEP].astype(jnp.int32)
-        active = step < length
+        active = lane_active(st)
         rank = jnp.cumsum(active.astype(jnp.int32)) - 1
         lost = active & (rank >= c)
-        g_all = (jnp.arange(size, dtype=jnp.int32) if ids_rows is None
-                 else ids_rows)
+        g_all = walk_rows_of(S, lane_s)
         walks = walks.at[
             jnp.where(lost, jnp.minimum(g_all, num_walkers), num_walkers),
             length].set(-1, mode="drop")
         idx = _compact(active, c)
         safe = jnp.minimum(idx, size - 1)
         act = idx < size
-        src_rows = idx if ids_rows is None else ids_rows[safe]
-        new_ids = jnp.where(act, src_rows, num_walkers)
+        new_lane = jnp.where(act, lane_s[safe], lanes)
         Ss = S[safe]
-        # Padding lanes: step=length (never active), flags cleared (never
-        # frozen) so they cannot enter an exact pass.
+        # Padding lanes: step=length, k=V-1 (never active), flags cleared
+        # (never frozen, never refilled) so they cannot enter an exact pass.
         Ss = Ss.at[:, C_STEP].set(
             jnp.where(act, Ss[:, C_STEP], jnp.uint32(length)))
         Ss = Ss.at[:, C_RND].set(jnp.where(act, Ss[:, C_RND], 0))
-        return (Ss, walks), wid_s[safe], new_ids
+        Ss = Ss.at[:, C_K].set(
+            jnp.where(act, Ss[:, C_K], jnp.uint32(V - 1)))
+        return (Ss, walks), new_lane
 
     budget = jnp.int32(drain_blocks)
-    cur_wid, cur_ids = wid, None
+    cur_lane = lane_ids0
+    compacted = False
     for c in level_caps:
-        kw = dict(wid_s=cur_wid, ids=cur_ids,
+        kw = dict(lane_s=cur_lane, compacted=compacted,
                   cap=pass_cap_for(state[0].shape[0]))
 
         def guard_cond(carry, _c=c, _kw=kw):
@@ -620,14 +726,15 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         state, used = lax.while_loop(guard_cond, guard_body,
                                      (state, jnp.int32(0)))
         budget = budget - used
-        state, cur_wid, cur_ids = compact_level(state, cur_wid, cur_ids, c)
+        state, cur_lane = compact_level(state, cur_lane, c)
+        compacted = True
 
-    last_kw = dict(wid_s=cur_wid, ids=cur_ids,
+    last_kw = dict(lane_s=cur_lane, compacted=True,
                    cap=pass_cap_for(state[0].shape[0]))
 
     def final_cond(carry):
         st, n = carry
-        return jnp.any(step_of(st) < length) & (n < budget)
+        return jnp.any(lane_active(st)) & (n < budget)
 
     state, _ = lax.while_loop(
         final_cond, lambda carry: (block(carry[0], **last_kw), carry[1] + 1),
@@ -636,12 +743,11 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     # caller shrinks max_rounds far below DEFAULT_MAX_ROUNDS): poison their
     # final position with -1 — same loud-incompleteness contract as
     # compact_level above.  No-op (all indices OOB) on complete runs.
-    step_f, walks_f = step_of(state), state[1]
-    size_f = step_f.shape[0]
-    g_f = (jnp.arange(size_f, dtype=jnp.int32) if cur_ids is None
-           else cur_ids)
+    walks_f = state[1]
+    unfinished = lane_active(state)
+    g_f = walk_rows_of(state[0], cur_lane)
     walks_f = walks_f.at[
-        jnp.where(step_f < length, jnp.minimum(g_f, num_walkers),
+        jnp.where(unfinished, jnp.minimum(g_f, num_walkers),
                   num_walkers), length].set(-1, mode="drop")
     return walks_f[:, : length + 1]
 
@@ -649,7 +755,8 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
 def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
                       hash_log_size, hash_salt, p, q, walk_length, seed,
                       walker_offset=0, max_rounds=common.DEFAULT_MAX_ROUNDS,
-                      unroll=4, fat6=None, sampler="mixture"):
+                      unroll=4, fat6=None, sampler="mixture",
+                      walks_per_lane=None):
     """node2vec p/q-biased walks over fat tables + cuckoo membership.
 
     Bit-identical to ops.node2vec.node2vec_walk_csr: every walker consumes
@@ -682,7 +789,8 @@ def node2vec_walk_fat(edge_tab, node_tab, hash_table, target_nodes, meta,
         return _node2vec_freerun(fat6[0], fat6[1], hash_table, target_nodes,
                                  meta, hash_log_size, hash_salt, p, q,
                                  walk_length, seed, walker_offset, max_rounds,
-                                 sampler=sampler)
+                                 sampler=sampler,
+                                 walks_per_lane=walks_per_lane)
     key = prng.derive_key(seed, prng.STREAM_CSR_BIASED)
     prob_0, prob_1, prob_2 = common.node2vec_accept_probs(p, q)
     lo_acc = min(prob_1, prob_2)
@@ -1029,7 +1137,7 @@ def node2vec_walk_edge_list_fat(edge_tab, node_tab, hash_table, target_nodes,
                                 walk_length, seed, padding_idx, restart,
                                 walker_offset=0,
                                 max_rounds=common.DEFAULT_MAX_ROUNDS,
-                                unroll=4):
+                                unroll=None, walks_per_lane=None):
     """Biased edge-list walks (padding/restart semantics), fat tables +
     cuckoo membership.  Bit-identical to
     ops.edge_list_walk.biased_walk_edge_list (same counters, same
@@ -1037,11 +1145,15 @@ def node2vec_walk_edge_list_fat(edge_tab, node_tab, hash_table, target_nodes,
 
     Delegates to the free-running engine (r4); the step-synchronous
     implementation below remains as a tested bit-identity cross-check
-    (_node2vec_edge_list_stepwise)."""
+    (_node2vec_edge_list_stepwise).  ``unroll`` forwards to the freerun
+    engine's ``round_unroll`` (None = its platform default — ADVICE r4
+    flagged the silently-inert parameter); unroll never changes walk
+    values, only trace structure."""
     return node2vec_walk_edge_list_freerun(
         edge_tab, node_tab, hash_table, target_nodes, meta, hash_log_size,
         hash_salt, p, q, walk_length, seed, padding_idx, restart,
-        walker_offset, max_rounds)
+        walker_offset, max_rounds, round_unroll=unroll,
+        walks_per_lane=walks_per_lane)
 
 
 def _node2vec_edge_list_stepwise(edge_tab, node_tab, hash_table, target_nodes,
@@ -1203,7 +1315,7 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
                                     padding_idx, restart, walker_offset=0,
                                     max_rounds=common.DEFAULT_MAX_ROUNDS,
                                     rounds_per_block=3, slack=1.1,
-                                    round_unroll=None):
+                                    round_unroll=None, walks_per_lane=None):
     """Free-running biased edge-list walks — the r4 production engine.
 
     The step-synchronous engine above pays, EVERY step, two full-batch
@@ -1222,6 +1334,13 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
     Padding/restart semantics per rw_cpu_edge_list.cpp:195-232: a lane AT
     padding draws its jump node (target if ``restart`` else padding); a
     PAD candidate gates on prob_0 and an accept moves to the jump node.
+
+    **Virtual lanes (r5, same scheme as the CSR engine)**: with
+    ``walks_per_lane = V > 1`` each of ``B / V`` lanes advances V whole
+    walks back to back; completed lanes refill with the next walk's start
+    node (and its RESTART jump state, which is per-walk) in a compacted
+    refill pass appended to every block.  Walks stay bit-identical for
+    every V (draws keyed by global walker id).
     """
     num_walkers = target_nodes.shape[0]
     key = prng.derive_key(seed, prng.STREAM_EDGE_BIASED)
@@ -1229,18 +1348,35 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
     pad = jnp.int32(padding_idx)
     length = walk_length
     m = jnp.uint32(prng.MAX_ROUNDS_PER_STEP)
-    wid_full = common.walker_ids(num_walkers, walker_offset)
     cols = jnp.arange(length + 2, dtype=jnp.int32)
     if round_unroll is None:
         round_unroll = (rounds_per_block
                         if jax.default_backend() == "tpu" else 2)
+    V = walks_per_lane
+    if V is None:
+        V = 1
+        if length >= 16:
+            for cand_v in (4, 2):
+                if num_walkers % cand_v == 0 and num_walkers // cand_v >= 16384:
+                    V = cand_v
+                    break
+    elif num_walkers % V:
+        V = 1
+    lanes = num_walkers // V
+    lane_ids0 = jnp.arange(lanes, dtype=jnp.int32)
+    slot_ids = jnp.arange(V, dtype=jnp.int32)
 
     a = max(min(prob_0, prob_1, prob_2), 0.05)
-    est_rounds = int(slack * max(length, 1) / a) + rounds_per_block
+    est_rounds = (int(slack * V * max(length, 1) / a)
+                  + V * rounds_per_block)
     scan_blocks = max(est_rounds // rounds_per_block, 1)
     drain_blocks = max_rounds // rounds_per_block + 2
+    refill_cap = min(lanes, max(
+        ((int(2.0 * (a / max(length, 1)) * rounds_per_block * lanes)
+          + 127) // 128) * 128, 256)) if V > 1 else 0
 
-    cur0 = target_nodes.astype(jnp.int32)
+    all_t0 = target_nodes.astype(jnp.int32)
+    cur0 = all_t0[:lanes]
     safe0 = jnp.clip(cur0, 0, meta.num_nodes - 1)
     _, start0, cnt0 = meta.layout.unpack(node_tab[safe0])
     if restart:
@@ -1251,17 +1387,25 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
         jc0 = jnp.zeros_like(cnt0)
 
     walks0 = jnp.zeros((num_walkers, length + 2), jnp.int32)
-    walks0 = walks0.at[:, 0].set(cur0)
+    walks0 = walks0.at[:, 0].set(all_t0)
 
     def contains(u, v):
         return _edge_set_contains(hash_table, hash_log_size, hash_salt, u, v)
 
-    def one_round(st, wid_s, ids):
-        t, v, vs, vc, j, js, jc, step, rnd, walks = st
+    def rows_of(k, lane_s):
+        return jnp.where(lane_s >= lanes, num_walkers, k * lanes + lane_s)
+
+    def wid_of(k, lane_s):
+        return (jnp.uint32(walker_offset)
+                + (k * lanes + jnp.minimum(lane_s, lanes - 1))
+                .astype(jnp.uint32))
+
+    def one_round(st, lane_s, compacted):
+        t, v, vs, vc, j, js, jc, step, rnd, k, walks = st
         active = step < length
         s = step + 1
         c1 = s.astype(jnp.uint32) * m + rnd
-        b_cand, b_acc = prng.counter_bits(key, wid_s, c1)
+        b_cand, b_acc = prng.counter_bits(key, wid_of(k, lane_s), c1)
         off = prng.randint_from_bits(b_cand, jnp.maximum(vc, 1))
         e = jnp.clip(vs + off, 0, max(meta.num_edges - 1, 0))
         tail, t_start, t_cnt = meta.layout.unpack(edge_tab[e])
@@ -1294,33 +1438,83 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
         vc = jnp.where(acc, val_c, vc)
         step = step + acc.astype(step.dtype)
         rnd = jnp.where(acc, 0, rnd + (active & ~acc).astype(jnp.uint32))
-        if ids is None:
-            mask = acc[:, None] & (cols[None, :] == s[:, None])
-            walks = jnp.where(mask, value[:, None], walks)
+        if not compacted:
+            w3 = walks.reshape(V, lanes, length + 2)
+            mask = (acc[None, :, None]
+                    & (slot_ids[:, None, None] == k[None, :, None])
+                    & (cols[None, None, :] == s[None, :, None]))
+            walks = jnp.where(mask, value[None, :, None], w3).reshape(
+                num_walkers, length + 2)
         else:
-            walks = walks.at[ids, jnp.where(acc, s, length + 1)].set(
-                value, indices_are_sorted=True, unique_indices=True)
-        return t, v, vs, vc, j, js, jc, step, rnd, walks
+            walks = walks.at[rows_of(k, lane_s),
+                             jnp.where(acc, s, length + 1)].set(
+                value, indices_are_sorted=(V == 1), unique_indices=True)
+        return t, v, vs, vc, j, js, jc, step, rnd, k, walks
 
-    def block(st, wid_s=None, ids=None):
-        wid_s = wid_full if wid_s is None else wid_s
-        return lax.scan(lambda s_, _: (one_round(s_, wid_s, ids), 0), st,
-                        None, length=rounds_per_block,
-                        unroll=round_unroll)[0]
+    def refill_pass(st, lane_s):
+        """Compacted refill (V > 1 only): lanes whose walk finished restart
+        at walk k+1's start node with fresh per-walk jump state."""
+        t, v, vs, vc, j, js, jc, step, rnd, k, walks = st
+        size = step.shape[0]
+        need = (step >= length) & (k < V - 1) & (lane_s < lanes)
+        idx = _compact(need, refill_cap)
+        safe = jnp.minimum(idx, size - 1)
+        act = idx < size
+        k_s = k[safe]
+        lane_sub = lane_s[safe]
+        nxt_widx = jnp.clip((k_s + 1) * lanes
+                            + jnp.minimum(lane_sub, lanes - 1),
+                            0, num_walkers - 1)
+        t_new = all_t0[nxt_widx]
+        safe_t = jnp.clip(t_new, 0, meta.num_nodes - 1)
+        _, n_start, n_cnt = meta.layout.unpack(node_tab[safe_t])
+        if restart:
+            nj, njs, njc = t_new, n_start, n_cnt
+        else:
+            nj = jnp.full_like(t_new, pad)
+            njs = jnp.zeros_like(n_start)
+            njc = jnp.zeros_like(n_cnt)
+        i_act = jnp.where(act, idx, size)
+        kw = dict(indices_are_sorted=True, unique_indices=True)
+        t = t.at[i_act].set(t_new, **kw)
+        v = v.at[i_act].set(t_new, **kw)
+        vs = vs.at[i_act].set(n_start, **kw)
+        vc = vc.at[i_act].set(n_cnt, **kw)
+        j = j.at[i_act].set(nj, **kw)
+        js = js.at[i_act].set(njs, **kw)
+        jc = jc.at[i_act].set(njc, **kw)
+        step = step.at[i_act].set(0, **kw)
+        rnd = rnd.at[i_act].set(0, **kw)
+        k = k.at[i_act].set(k_s + 1, **kw)
+        return t, v, vs, vc, j, js, jc, step, rnd, k, walks
+
+    def block(st, lane_s=None, compacted=False):
+        lane_s = lane_ids0 if lane_s is None else lane_s
+        st = lax.scan(lambda s_, _: (one_round(s_, lane_s, compacted), 0),
+                      st, None, length=rounds_per_block,
+                      unroll=round_unroll)[0]
+        if V > 1:
+            st = refill_pass(st, lane_s)
+        return st
 
     state = (cur0, cur0, start0, cnt0, jump0, js0, jc0,
-             jnp.zeros((num_walkers,), jnp.int32),
-             jnp.zeros((num_walkers,), jnp.uint32), walks0)
+             jnp.zeros((lanes,), jnp.int32),
+             jnp.zeros((lanes,), jnp.uint32),
+             jnp.zeros((lanes,), jnp.int32), walks0)
     # t starts as cur0 (never consulted at step 0: first hop accepts any).
     state, _ = lax.scan(lambda st, _: (block(st), 0), state,
                         jnp.arange(scan_blocks))
 
+    def lane_active(st):
+        if V == 1:
+            return st[7] < length
+        return (st[7] < length) | (st[9] < V - 1)
+
     def active_count(st):
-        return jnp.sum((st[7] < length).astype(jnp.int32))
+        return jnp.sum(lane_active(st).astype(jnp.int32))
 
     def cap_of(frac):
-        return min(num_walkers,
-                   max(((num_walkers // frac) + 127) // 128 * 128, 256))
+        return min(lanes, max(((lanes // frac) + 127) // 128 * 128, 256))
 
     level_caps = []
     for frac in (2, 4, 8, 16, 32, 64, 128, 256):
@@ -1328,31 +1522,30 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
         if not level_caps or c < level_caps[-1]:
             level_caps.append(c)
 
-    def compact_level(st, wid_s, ids_rows, c):
-        t, v, vs, vc, j, js, jc, step, rnd, walks = st
+    def compact_level(st, lane_s, c):
+        t, v, vs, vc, j, js, jc, step, rnd, k, walks = st
         size = step.shape[0]
-        active = step < length
+        active = lane_active(st)
         rank = jnp.cumsum(active.astype(jnp.int32)) - 1
         lost = active & (rank >= c)
-        g_all = (jnp.arange(size, dtype=jnp.int32) if ids_rows is None
-                 else ids_rows)
+        g_all = rows_of(k, lane_s)
         walks = walks.at[
             jnp.where(lost, jnp.minimum(g_all, num_walkers), num_walkers),
             length].set(-1, mode="drop")
         idx = _compact(active, c)
         safe = jnp.minimum(idx, size - 1)
         act = idx < size
-        src_rows = idx if ids_rows is None else ids_rows[safe]
-        new_ids = jnp.where(act, src_rows, num_walkers)
+        new_lane = jnp.where(act, lane_s[safe], lanes)
         sub = (t[safe], v[safe], vs[safe], vc[safe], j[safe], js[safe],
                jc[safe], jnp.where(act, step[safe], length), rnd[safe],
-               walks)
-        return sub, wid_s[safe], new_ids
+               jnp.where(act, k[safe], V - 1), walks)
+        return sub, new_lane
 
     budget = jnp.int32(drain_blocks)
-    cur_wid, cur_ids = wid_full, None
+    cur_lane = lane_ids0
+    compacted = False
     for c in level_caps:
-        kw = dict(wid_s=cur_wid, ids=cur_ids)
+        kw = dict(lane_s=cur_lane, compacted=compacted)
 
         def guard_cond(carry, _c=c):
             st, n = carry
@@ -1365,22 +1558,21 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
         state, used = lax.while_loop(guard_cond, guard_body,
                                      (state, jnp.int32(0)))
         budget = budget - used
-        state, cur_wid, cur_ids = compact_level(state, cur_wid, cur_ids, c)
+        state, cur_lane = compact_level(state, cur_lane, c)
+        compacted = True
 
-    last_kw = dict(wid_s=cur_wid, ids=cur_ids)
+    last_kw = dict(lane_s=cur_lane, compacted=True)
 
     def final_cond(carry):
         st, n = carry
-        return jnp.any(st[7] < length) & (n < budget)
+        return jnp.any(lane_active(carry[0])) & (n < budget)
 
     state, _ = lax.while_loop(
         final_cond, lambda carry: (block(carry[0], **last_kw), carry[1] + 1),
         (state, jnp.int32(0)))
-    step_f, walks_f = state[7], state[9]
-    size_f = step_f.shape[0]
-    g_f = (jnp.arange(size_f, dtype=jnp.int32) if cur_ids is None
-           else cur_ids)
+    walks_f = state[10]
+    g_f = rows_of(state[9], cur_lane)
     walks_f = walks_f.at[
-        jnp.where(step_f < length, jnp.minimum(g_f, num_walkers),
+        jnp.where(lane_active(state), jnp.minimum(g_f, num_walkers),
                   num_walkers), length].set(-1, mode="drop")
     return walks_f[:, : length + 1]
