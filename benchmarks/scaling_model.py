@@ -76,6 +76,15 @@ def project(family: str, shape: str, d: int, walkers: int,
     t_wire = wire / link_bytes_per_sec
     t_lat = phases * COLL_LAT
     eff = t_comp / (t_comp + t_wire + t_lat)
+    # Overlap credit (r5): schedule="overlapped" in partition_v2 splits the
+    # frontier into two pipelines — each phase body exchanges one half
+    # while locally sampling the other (bit-identity tested on the virtual
+    # mesh), so per hop the wall clock is 2 * max(t_comp/2, t_wire/2 +
+    # t_lat) = max(t_comp, t_wire + 2*t_lat) instead of their sum.  This
+    # is a designed property of the shipped schedule, not an aspiration;
+    # the serial column remains the no-overlap floor.
+    t_step_ovl = max(t_comp, t_wire + 2 * t_lat)
+    eff_ovl = t_comp / t_step_ovl
     return {
         "family": family, "shape": shape, "devices": d,
         "walkers_per_chip": walkers,
@@ -85,7 +94,10 @@ def project(family: str, shape: str, d: int, walkers: int,
         "wire_bytes_per_chip_step": int(wire),
         "useful_record_bytes_per_chip_step": wire_useful,
         "projected_efficiency": round(eff, 4),
+        "projected_efficiency_overlapped": round(eff_ovl, 4),
         "projected_steps_per_sec_total": round(rate * d * eff, 0),
+        "projected_steps_per_sec_total_overlapped": round(
+            rate * d * eff_ovl, 0),
     }
 
 
@@ -115,12 +127,13 @@ def main():
             rows.append(r)
 
     hdr = (f"{'family':9s} {'shape':9s} {'D':>9s} {'t_comp':>8s} "
-           f"{'t_wire':>8s} {'eff':>7s}")
+           f"{'t_wire':>8s} {'eff':>7s} {'eff_ovl':>8s}")
     print(hdr)
     for r in rows:
         print(f"{r['family']:9s} {r['shape']:9s} {str(r['devices']):>9s} "
               f"{r['t_comp_ms']:7.2f}m {r['t_wire_ms']:7.3f}m "
-              f"{r['projected_efficiency']:7.3f}")
+              f"{r['projected_efficiency']:7.3f} "
+              f"{r['projected_efficiency_overlapped']:8.3f}")
     out = {
         "assumptions": {
             "ici_gbps_per_chip": args.ici_gbps,
@@ -128,7 +141,11 @@ def main():
             "collective_latency_s": COLL_LAT,
             "weak_scaling_walkers_per_chip": args.walkers,
             "wire_model": "padded (D, 4B/D^2, R) all_to_all buffers x "
-                          "phases/step; no overlap credit",
+                          "phases/step; serial column = no overlap credit, "
+                          "overlapped column = max(t_comp, t_wire + 2*lat) "
+                          "per the shipped two-pipeline schedule "
+                          "(partition_v2 schedule='overlapped', "
+                          "bit-identity tested)",
             "single_chip_rates": {f"{k[0]}/{k[1]}": v
                                   for k, v in MEASURED.items()},
             "traffic_invariants": TRAFFIC,

@@ -119,6 +119,67 @@ class TestRoutedUniform:
         assert info["overflow_dropped"] == 0
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(walks))
 
+class TestOverlappedSchedule:
+    """schedule="overlapped" (r5): two-pipeline software-pipelined phases —
+    each while body exchanges one half-frontier while locally sampling the
+    other, so the all_to_all can hide under on-partition gathers.  Records
+    never migrate between pipelines and draws are unchanged, so walks must
+    be bit-identical to the serial schedule (and hence to the single-device
+    engines); each hop costs two (cheaper) phases, so the phase count
+    roughly doubles while the exchanged-record total is unchanged."""
+
+    @pytest.mark.parametrize("dead_ends", [False, True])
+    def test_uniform_bit_identical(self, mesh, dead_ends):
+        g = random_graph(2000, 6, seed=45, with_dead_ends=dead_ends)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        ref = uniform_walk_csr(g.row_ptr, g.col_idx, targets, 20, seed=9)
+        w, info = walk_partitioned_routed(pg, targets, mesh, 20, seed=9,
+                                          schedule="overlapped")
+        assert info["overflow_dropped"] == 0
+        assert info["schedule"] == "overlapped"
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(w))
+
+    @pytest.mark.parametrize("p,q", [(0.5, 2.0), (4.0, 0.25)])
+    def test_node2vec_bit_identical(self, mesh, p, q):
+        g = random_graph(2000, 6, seed=46)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        hashes = build_partition_hashes(pg, g)
+        blooms = build_partition_blooms(pg, g)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, p, q, 14,
+                                seed=3, search_iters=g.search_iters)
+        w, info = walk_partitioned_node2vec_routed(
+            pg, hashes, targets, mesh, p, q, 14, seed=3, blooms=blooms,
+            schedule="overlapped")
+        assert info["overflow_dropped"] == 0
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(w))
+
+    def test_node2vec_search_membership_overlapped(self, mesh):
+        g = random_graph(2000, 6, seed=47)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        blooms = build_partition_blooms(pg, g)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        ref = node2vec_walk_csr(g.row_ptr, g.col_idx, targets, 0.5, 2.0, 14,
+                                seed=3, search_iters=g.search_iters)
+        w, _ = walk_partitioned_node2vec_routed(
+            pg, None, targets, mesh, 0.5, 2.0, 14, seed=3, blooms=blooms,
+            schedule="overlapped")
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(w))
+
+    def test_record_totals_match_serial(self, mesh):
+        g = random_graph(2000, 6, seed=48)
+        pg = PartitionedCSR.from_csr(g, mesh.devices.size)
+        targets = jnp.arange(512, dtype=jnp.int32) % g.num_nodes
+        _, ser = walk_partitioned_routed(pg, targets, mesh, 16, seed=5)
+        _, ovl = walk_partitioned_routed(pg, targets, mesh, 16, seed=5,
+                                         schedule="overlapped")
+        # Same records travel, split across two pipelines; only the phase
+        # schedule differs.
+        assert ovl["exchanged_records"] == ser["exchanged_records"]
+        assert ovl["phases"] > ser["phases"]
+
+
 class TestRoutedNode2vec:
     def _ref(self, g, targets, p, q, length, seed):
         return node2vec_walk_csr(g.row_ptr, g.col_idx, targets, p, q, length,

@@ -271,12 +271,62 @@ _LOG_BIT = np.uint32(1 << 31)
 _FUSE_BIT = np.uint32(1 << 30)
 
 
+def _overlapped_drive(a2a, process, outbox_A, carry_A, cvalid_A,
+                      outbox_B, carry_B, cvalid_B, acc0, count_box,
+                      count_carry, axis, max_phases, varying):
+    """Two-pipeline software-pipelined phase driver (SURVEY §2.8's
+    "exchange overlapped with on-partition sampling").
+
+    The serial schedule's body is a strict chain — a2a(outbox) must land
+    before processing starts, processing must finish before the next a2a —
+    so the interconnect idles while the chip samples and vice versa.  Here
+    the frontier is split into two independent pipelines: every body
+    exchanges pipeline X's outbox while locally sampling pipeline Y's
+    already-arrived records, and the returned state swaps the roles, so
+    XLA's async collectives can hide the all_to_all under the local
+    gathers (each pipeline advances one hop per two bodies; with balanced
+    halves the wall clock per hop is max(exchange, sample) instead of
+    their sum).  Records never migrate between pipelines, draws are
+    unchanged, so walks stay bit-identical to the serial schedule.
+
+    ``process(inbox, carry, cvalid, acc) -> (outbox, carry, cvalid, acc)``
+    is the schedule-agnostic phase kernel; ``acc`` carries the walk shard +
+    counters.  ``count_box``/``count_carry`` count live records for the
+    termination psum.  The driver seeds pipeline B with one pre-loop
+    exchange so body 1 has arrivals to sample.
+    """
+    inbox_B0 = a2a(outbox_B)
+
+    def body(state):
+        (ex_outbox, ex_carry, ex_cvalid, pr_inbox, pr_carry, pr_cvalid,
+         acc, _inflight, phases) = state
+        inbox_X = a2a(ex_outbox)                       # exchange pipeline X
+        outbox_Y, carry_Y, cvalid_Y, acc = process(    # sample pipeline Y
+            pr_inbox, pr_carry, pr_cvalid, acc)
+        inflight = lax.psum(
+            count_box(outbox_Y) + count_box(inbox_X)
+            + count_carry(cvalid_Y) + count_carry(ex_cvalid), axis)
+        return (outbox_Y, carry_Y, cvalid_Y, inbox_X, ex_carry, ex_cvalid,
+                acc, inflight, phases + 1)
+
+    def cond(state):
+        return jnp.logical_and(state[7] > 0, state[8] < max_phases)
+
+    init_inflight = lax.psum(
+        count_box(outbox_A) + count_box(inbox_B0)
+        + count_carry(cvalid_A) + count_carry(cvalid_B), axis)
+    state = (outbox_A, carry_A, cvalid_A, varying(inbox_B0), carry_B,
+             cvalid_B, acc0, init_inflight, jnp.int32(0))
+    state = lax.while_loop(cond, body, state)
+    return state[6], state[8]
+
+
 @functools.lru_cache(maxsize=64)
 def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
                         shard_nodes: int, num_walkers: int, walk_length: int,
                         cap: int, ccap: int,
                         max_phases: int, exchange: str,
-                        exchange_interpret: bool):
+                        exchange_interpret: bool, schedule: str = "serial"):
     """Build (and cache) the jitted shard_map for one routed-walk shape.
 
     Everything that shapes the HLO is in the cache key; the derived threefry
@@ -309,15 +359,13 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
             return _build_outbox(recs, dests, valid, carry, carry_valid,
                                  nshards, cap, ccap)
 
-        outbox, carry, carry_valid, ovf0 = build_outbox(
-            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_UNIFORM))
-
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
-        def phase(state):
-            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
-             sent_recs, phases, overflow) = state
-            inbox = a2a(outbox)
+        def process(inbox, carry, carry_valid, acc):
+            """Schedule-agnostic phase kernel: sample/log one inbox of
+            arrivals, build the next outbox.  ``acc`` = (walks_local,
+            log_n, sent_recs, overflow)."""
+            walks_local, log_n, sent_recs, overflow = acc
             recs = inbox.reshape(-1, _R_UNIFORM)          # (D*cap, R)
             wid = recs[:, 0]
             arrived = wid != sentinel
@@ -359,32 +407,64 @@ def _routed_uniform_jit(mesh: Mesh, axis: str, nshards: int,
             outbox, carry, carry_valid, ovf = build_outbox(
                 recs_out, dest_out, valid_out, carry, carry_valid)
             sent = jnp.sum(valid_out.astype(jnp.int32))
-            # In-flight = records still travelling anywhere (psum'd so the
-            # while cond is shard-invariant).
-            inflight = lax.psum(
-                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
-                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
-                    sent_recs + sent, phases + 1, overflow + ovf)
-
-        def cond(state):
-            inflight = state[5]
-            phases = state[7]
-            return jnp.logical_and(inflight > 0, phases < max_phases)
-
-        init_inflight = lax.psum(
-            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+            return outbox, carry, carry_valid, (
+                walks_local, log_n, sent_recs + sent, overflow + ovf)
 
         def varying(x):
             # The while carry must have consistent device-variance types:
             # these start identical on every shard but diverge in the body.
             return _to_varying(x, axis, exchange)
 
-        state = (outbox, carry, carry_valid, varying(walks_local),
-                 varying(log_n), init_inflight, varying(jnp.int32(0)),
-                 jnp.int32(0), ovf0)
+        def count_box(box):
+            return jnp.sum((box[:, :, 0] != sentinel).astype(jnp.int32))
+
+        def count_carry(cv):
+            return jnp.sum(cv.astype(jnp.int32))
+
+        if schedule == "overlapped":
+            # Balanced halves by local lane parity; records never migrate.
+            sel = (jnp.arange(blk, dtype=jnp.int32) % 2) == 0
+            outbox_A, carry_A, cvalid_A, ovfA = build_outbox(
+                rec0, dest0, valid0 & sel,
+                *_empty_carry(nshards, ccap, _R_UNIFORM))
+            outbox_B, carry_B, cvalid_B, ovfB = build_outbox(
+                rec0, dest0, valid0 & ~sel,
+                *_empty_carry(nshards, ccap, _R_UNIFORM))
+            acc0 = (varying(walks_local), varying(log_n),
+                    varying(jnp.int32(0)), ovfA + ovfB)
+            acc, phases = _overlapped_drive(
+                a2a, process, outbox_A, carry_A, cvalid_A, outbox_B,
+                carry_B, cvalid_B, acc0, count_box, count_carry, axis,
+                max_phases, varying)
+            walks_local, log_n, sent_recs, overflow = acc
+            stats = jnp.stack([log_n, sent_recs, phases, overflow])
+            return walks_local[None, :blk, : walk_length + 1], stats[None]
+
+        outbox, carry, carry_valid, ovf0 = build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_UNIFORM))
+
+        def phase(state):
+            outbox, carry, carry_valid, acc, _inflight, phases = state
+            inbox = a2a(outbox)
+            outbox, carry, carry_valid, acc = process(inbox, carry,
+                                                      carry_valid, acc)
+            # In-flight = records still travelling anywhere (psum'd so the
+            # while cond is shard-invariant).
+            inflight = lax.psum(count_box(outbox) + count_carry(carry_valid),
+                                axis)
+            return (outbox, carry, carry_valid, acc, inflight, phases + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[4] > 0, state[5] < max_phases)
+
+        init_inflight = lax.psum(count_box(outbox), axis)
+        acc0 = (varying(walks_local), varying(log_n), varying(jnp.int32(0)),
+                ovf0)
+        state = (outbox, carry, carry_valid, acc0, init_inflight,
+                 jnp.int32(0))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow) = state
+        (walks_local, log_n, sent_recs, overflow) = state[3]
+        phases = state[5]
         stats = jnp.stack([log_n, sent_recs, phases, overflow])
         return walks_local[None, :blk, : walk_length + 1], stats[None]
 
@@ -406,11 +486,19 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
                             axis: str = "data",
                             config: RoutedConfig | None = None,
                             exchange: str = "xla",
-                            exchange_interpret: bool = False):
+                            exchange_interpret: bool = False,
+                            schedule: str = "serial"):
     """Uniform CSR walks with owner-routed walker exchange.
 
     Returns (walks (B, L+1) int32, stats dict).  Bit-identical to
     ops.uniform.uniform_walk_csr / ops.fatwalk.uniform_walk_fat.
+
+    ``schedule="overlapped"`` runs the two-pipeline software-pipelined
+    phase driver (_overlapped_drive): each body exchanges one half of the
+    frontier while locally sampling the other, so the all_to_all hides
+    under on-partition gathers (SURVEY §2.8 north star).  Walks are
+    bit-identical across schedules; each hop takes two (cheaper) phases,
+    so ``phases`` in the stats roughly doubles.
     """
     num_walkers = int(target_nodes.shape[0])
     nshards = pgraph.num_shards
@@ -425,8 +513,10 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
     fn = _routed_uniform_jit(mesh, axis, nshards, pgraph.shard_nodes,
                              num_walkers, walk_length,
                              cfg.pair_capacity, cfg.carry,
-                             cfg.max_phases, exchange,
-                             bool(exchange_interpret))
+                             cfg.max_phases
+                             * (2 if schedule == "overlapped" else 1),
+                             exchange, bool(exchange_interpret),
+                             schedule=schedule)
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_CSR_UNIFORM)),
         NamedSharding(mesh, P()))
@@ -441,6 +531,7 @@ def walk_partitioned_routed(pgraph: PartitionedCSR, target_nodes, mesh: Mesh,
         "phases": int(stats[:, 2].max()),
         "overflow_dropped": int(stats[:, 3].sum()),
         "exchange_bytes": int(stats[:, 1].sum()) * _R_UNIFORM * 4,
+        "schedule": schedule,
     }
     _check_complete(info, num_walkers, walk_length, cfg)
     return walks, info
@@ -485,7 +576,8 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
                                      config: RoutedConfig | None = None,
                                      spec_rounds: int = 6, blooms=None,
                                      exchange: str = "xla",
-                                     exchange_interpret: bool = False):
+                                     exchange_interpret: bool = False,
+                                     schedule: str = "serial"):
     """node2vec walks with owner-routed walkers (SURVEY.md §2.8's exchange).
 
     The single-chip speculative-scan semantics (ops/fatwalk.py spec_phase)
@@ -554,8 +646,10 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
                          num_walkers, walk_length, float(p),
                          float(q), int(spec_rounds), int(hash_log),
                          cfg.pair_capacity, cfg.carry,
-                         cfg.max_phases, exchange, bool(exchange_interpret),
-                         use_search=hashes is None)
+                         cfg.max_phases
+                         * (2 if schedule == "overlapped" else 1),
+                         exchange, bool(exchange_interpret),
+                         use_search=hashes is None, schedule=schedule)
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_CSR_BIASED)),
         NamedSharding(mesh, P()))
@@ -571,6 +665,7 @@ def walk_partitioned_node2vec_routed(pgraph: PartitionedCSR, hashes,
         "exchange_bytes": int(stats[:, 1].sum()) * _R_N2V * 4,
         "collectives_per_step": round(
             int(stats[:, 2].max()) / max(walk_length, 1), 2),
+        "schedule": schedule,
     }
     _check_complete(info, num_walkers, walk_length, cfg)
     return walks, info
@@ -581,7 +676,8 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
                     num_walkers: int, walk_length: int, p: float,
                     q: float, spec_rounds: int, hash_log: int, cap: int,
                     ccap: int, max_phases: int, exchange: str,
-                    exchange_interpret: bool, use_search: bool = False):
+                    exchange_interpret: bool, use_search: bool = False,
+                    schedule: str = "serial"):
     """Cached jitted shard_map builder for the routed node2vec engine (same
     rationale as _routed_uniform_jit: the threefry key is a traced argument,
     so per-epoch seeds never retrace)."""
@@ -663,17 +759,14 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
         z = jnp.zeros((blk,), jnp.uint32)
         zb = jnp.zeros((blk, _BLOOM_WORDS), jnp.uint32)
         rec0 = pack(wid0, z, z, tgt_local, tgt_local, z, z, z, z, z, z, zb)
-        outbox, carry, carry_valid, ovf0 = _build_outbox(
-            rec0, owner(tgt_local), jnp.ones((blk,), bool) & (walk_length > 0),
-            *_empty_carry(nshards, ccap, _R_N2V), nshards=nshards, cap=cap,
-            ccap=ccap)
+        dest0 = owner(tgt_local)
+        valid0 = jnp.ones((blk,), bool) & (walk_length > 0)
 
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
-        def phase(state):
-            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
-             sent_recs, phases, overflow) = state
-            inbox = a2a(outbox)
+        def process(inbox, carry, carry_valid, acc):
+            """Schedule-agnostic phase kernel (see _routed_uniform_jit)."""
+            walks_local, log_n, sent_recs, overflow = acc
             recs = inbox.reshape(-1, _R_N2V)
             wid = recs[:, 0]
             arrived = wid != sentinel
@@ -844,25 +937,62 @@ def _routed_n2v_jit(mesh: Mesh, axis: str, nshards: int, shard_nodes: int,
                 recs_out, dest_out, valid_out, carry, carry_valid,
                 nshards=nshards, cap=cap, ccap=ccap)
             sent = jnp.sum(valid_out.astype(jnp.int32))
-            inflight = lax.psum(
-                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
-                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
-                    sent_recs + sent, phases + 1, overflow + ovf)
-
-        def cond(state):
-            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
+            return outbox, carry, carry_valid, (
+                walks_local, log_n, sent_recs + sent, overflow + ovf)
 
         def varying(x):
             return _to_varying(x, axis, exchange)
 
-        init_inflight = lax.psum(
-            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
-        state = (outbox, carry, carry_valid, varying(walks_local),
-                 varying(jnp.int32(blk)), init_inflight,
-                 varying(jnp.int32(0)), jnp.int32(0), ovf0)
+        def count_box(box):
+            return jnp.sum((box[:, :, 0] != sentinel).astype(jnp.int32))
+
+        def count_carry(cv):
+            return jnp.sum(cv.astype(jnp.int32))
+
+        if schedule == "overlapped":
+            sel = (jnp.arange(blk, dtype=jnp.int32) % 2) == 0
+            outbox_A, carry_A, cvalid_A, ovfA = _build_outbox(
+                rec0, dest0, valid0 & sel,
+                *_empty_carry(nshards, ccap, _R_N2V), nshards=nshards,
+                cap=cap, ccap=ccap)
+            outbox_B, carry_B, cvalid_B, ovfB = _build_outbox(
+                rec0, dest0, valid0 & ~sel,
+                *_empty_carry(nshards, ccap, _R_N2V), nshards=nshards,
+                cap=cap, ccap=ccap)
+            acc0 = (varying(walks_local), varying(jnp.int32(blk)),
+                    varying(jnp.int32(0)), ovfA + ovfB)
+            acc, phases = _overlapped_drive(
+                a2a, process, outbox_A, carry_A, cvalid_A, outbox_B,
+                carry_B, cvalid_B, acc0, count_box, count_carry, axis,
+                max_phases, varying)
+            walks_local, log_n, sent_recs, overflow = acc
+            stats = jnp.stack([log_n, sent_recs, phases, overflow])
+            return walks_local[None, :blk, : walk_length + 1], stats[None]
+
+        outbox, carry, carry_valid, ovf0 = _build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_N2V),
+            nshards=nshards, cap=cap, ccap=ccap)
+
+        def phase(state):
+            outbox, carry, carry_valid, acc, _inflight, phases = state
+            inbox = a2a(outbox)
+            outbox, carry, carry_valid, acc = process(inbox, carry,
+                                                      carry_valid, acc)
+            inflight = lax.psum(count_box(outbox) + count_carry(carry_valid),
+                                axis)
+            return (outbox, carry, carry_valid, acc, inflight, phases + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[4] > 0, state[5] < max_phases)
+
+        init_inflight = lax.psum(count_box(outbox), axis)
+        acc0 = (varying(walks_local), varying(jnp.int32(blk)),
+                varying(jnp.int32(0)), ovf0)
+        state = (outbox, carry, carry_valid, acc0, init_inflight,
+                 jnp.int32(0))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow) = state
+        (walks_local, log_n, sent_recs, overflow) = state[3]
+        phases = state[5]
         stats = jnp.stack([log_n, sent_recs, phases, overflow])
         return walks_local[None, :blk, : walk_length + 1], stats[None]
 
