@@ -38,8 +38,14 @@ def build(args):
 
     if args.dataset == "products":
         graph = products_shape_graph("dataset")
+        from torch_random_walk_tpu.ops.walk import warm_biased_tables
+
+        # Disk-cached fat6 + cuckoo (the host build is ~3 min at 127M E).
+        warm_biased_tables(graph, os.path.join("dataset",
+                                               "products_shape_fat_v1"))
     else:
-        graph = synthetic_power_law(args.nodes, args.degree, 0)
+        graph = synthetic_power_law(args.nodes, args.degree, 0,
+                                    cache_root="dataset")
     es = edge_set_for(graph)
     targets = jnp.arange(args.walkers, dtype=jnp.int32) % graph.num_nodes
     return graph, es, targets
@@ -79,9 +85,11 @@ def run_variant(name, graph, es, targets, args):
         from torch_random_walk_tpu.ops.walk import fat6_for
 
         ft = fat6_for(graph)
-        # rpb 0 = engine's adaptive cadence (freeze-rate heuristic).
+        # rpb 0 = engine's adaptive cadence (freeze-rate heuristic);
+        # vlanes 0 = the engine's auto V choice, else explicit.
         fr_kw = dict(rounds_per_block=args.rpb or None,
-                     round_unroll=args.runroll or None, slack=args.slack)
+                     round_unroll=args.runroll or None, slack=args.slack,
+                     walks_per_lane=args.vlanes or None)
 
         def run_b(e6, n6, table, tt):
             return fatwalk._node2vec_freerun(
@@ -132,6 +140,12 @@ def main():
     ap.add_argument("--sweep", type=str, default="",
                     help="comma list of rounds_per_block values: time the "
                     "bloom variant once per value (tables stay on device)")
+    ap.add_argument("--vlanes", type=int, default=0,
+                    help="freerun walks_per_lane; 0 = engine auto "
+                    "(bloom variant)")
+    ap.add_argument("--vsweep", type=str, default="",
+                    help="comma list of walks_per_lane values: time the "
+                    "bloom variant once per value (composable with --rpb)")
     ap.add_argument("--slack", type=float, default=1.05,
                     help="freerun scan-length slack (bloom variant)")
     ap.add_argument("--variant", type=str, default="all")
@@ -152,7 +166,16 @@ def main():
     if args.trace:
         jax.profiler.start_trace(args.trace)
     out = {}
-    if args.sweep:
+    if args.vsweep:
+        for v in (int(x) for x in args.vsweep.split(",")):
+            args.vlanes = v
+            dt = run_variant("bloom", graph, es, targets, args)
+            tag = f"bloom_v{v}" + (f"_rpb{args.rpb}" if args.rpb else "")
+            out[tag] = dict(sec_per_call=round(dt, 4),
+                            msteps_per_sec=round(steps / dt / 1e6, 2))
+            print(tag, json.dumps(out[tag]), flush=True)
+        names = []
+    elif args.sweep:
         for rpb in (int(x) for x in args.sweep.split(",")):
             args.rpb, args.runroll = rpb, rpb
             dt = run_variant("bloom", graph, es, targets, args)
