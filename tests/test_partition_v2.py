@@ -179,6 +179,82 @@ class TestOverlappedSchedule:
         assert ovl["exchanged_records"] == ser["exchanged_records"]
         assert ovl["phases"] > ser["phases"]
 
+    def test_triples_bit_identical(self, mesh):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedTriples,
+            walk_triples_partitioned_routed,
+        )
+
+        rng = np.random.default_rng(9)
+        t = np.stack([rng.integers(0, 700, 4000),
+                      rng.integers(0, 8, 4000),
+                      rng.integers(0, 1000, 4000)], axis=1)
+        g = trw.TriplesGraph.from_arrays(t, num_entities=1000)
+        pad = g.num_entities + 3
+        pg = PartitionedTriples.from_triples(g, mesh.devices.size)
+        targets = jnp.arange(256, dtype=jnp.int32) % g.num_entities
+        routed, info = walk_triples_partitioned_routed(
+            pg, targets, mesh, walk_length=7, padding_idx=pad, seed=11,
+            schedule="overlapped")
+        assert info["overflow_dropped"] == 0
+        assert info["terminated"] == 256
+        single = trw.walk_triples(g, target_nodes=targets, walk_length=7,
+                                  padding_idx=pad, seed=11)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+
+    @pytest.mark.parametrize("restart", [True, False])
+    def test_edge_list_bit_identical(self, mesh, restart):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedEdgeList,
+            walk_edge_list_partitioned_routed,
+        )
+
+        rng = np.random.default_rng(10)
+        src = rng.integers(0, 700, 3600)
+        dst = rng.integers(0, 1000, 3600)
+        g = trw.EdgeListGraph.from_arrays(
+            np.stack([src, dst], axis=1), num_nodes=1000)
+        pad = 1000
+        pg = PartitionedEdgeList.from_edge_list(g, mesh.devices.size)
+        targets = jnp.arange(256, dtype=jnp.int32) % 700
+        routed, info = walk_edge_list_partitioned_routed(
+            pg, targets, mesh, walk_length=9, padding_idx=pad,
+            restart=restart, seed=4, schedule="overlapped")
+        assert info["overflow_dropped"] == 0
+        single = trw.walk_edge_list(g, target_nodes=targets, walk_length=9,
+                                    seed=4, padding_idx=pad, restart=restart)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+
+    def test_edge_list_biased_bit_identical(self, mesh):
+        import torch_random_walk_tpu as trw
+        from torch_random_walk_tpu.parallel.partition_v2 import (
+            PartitionedEdgeList,
+            build_edge_list_partition_blooms,
+            build_edge_list_partition_hashes,
+            walk_edge_list_node2vec_partitioned_routed,
+        )
+
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, 630, 3600)
+        dst = rng.integers(0, 900, 3600)
+        g = trw.EdgeListGraph.from_arrays(
+            np.stack([src, dst], axis=1), num_nodes=900)
+        pg = PartitionedEdgeList.from_edge_list(g, mesh.devices.size)
+        hashes = build_edge_list_partition_hashes(pg, g)
+        blooms = build_edge_list_partition_blooms(pg, g)
+        targets = jnp.arange(256, dtype=jnp.int32) % 630
+        routed, info = walk_edge_list_node2vec_partitioned_routed(
+            pg, hashes, targets, mesh, 0.5, 2.0, walk_length=8,
+            padding_idx=900, restart=True, seed=6, blooms=blooms,
+            schedule="overlapped")
+        assert info["overflow_dropped"] == 0
+        single = trw.walk_edge_list(g, target_nodes=targets, p=0.5, q=2.0,
+                                    walk_length=8, seed=6, padding_idx=900,
+                                    restart=True)
+        np.testing.assert_array_equal(np.asarray(routed), np.asarray(single))
+
 
 class TestRoutedNode2vec:
     def _ref(self, g, targets, p, q, length, seed):

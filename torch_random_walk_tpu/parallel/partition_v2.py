@@ -1122,7 +1122,8 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
                         shard_entities: int, num_walkers: int,
                         walk_length: int, padding_idx: int, cap: int,
                         ccap: int, max_phases: int,
-                        exchange: str, exchange_interpret: bool):
+                        exchange: str, exchange_interpret: bool,
+                        schedule: str = "serial"):
     """Owner-routed KG-triples walks: each STEP arrival is one local (S, 2)
     meta-row gather + one (E_max, 2) rel/tail row gather + a threefry draw;
     the (relation, tail) transition then hops to the walker\'s WID-OWNER,
@@ -1157,15 +1158,11 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
             return _build_outbox(recs, dests, valid, carry, carry_valid,
                                  nshards, cap, ccap)
 
-        outbox, carry, carry_valid, ovf0 = build_outbox(
-            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_TRIPLES))
-
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
-        def phase(state):
-            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
-             sent_recs, phases, overflow, done) = state
-            inbox = a2a(outbox)
+        def process(inbox, carry, carry_valid, acc):
+            """Schedule-agnostic phase kernel (see _routed_uniform_jit)."""
+            walks_local, log_n, sent_recs, overflow, done = acc
             recs = inbox.reshape(-1, _R_TRIPLES)
             wid = recs[:, 0]
             arrived = wid != sentinel
@@ -1223,27 +1220,60 @@ def _routed_triples_jit(mesh: Mesh, axis: str, nshards: int,
             outbox, carry, carry_valid, ovf = build_outbox(
                 recs_out, dest_out, valid_out, carry, carry_valid)
             sent = jnp.sum(valid_out.astype(jnp.int32))
-            inflight = lax.psum(
-                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
-                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
-                    sent_recs + sent, phases + 1, overflow + ovf, done)
-
-        def cond(state):
-            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
-
-        init_inflight = lax.psum(
-            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+            return outbox, carry, carry_valid, (
+                walks_local, log_n, sent_recs + sent, overflow + ovf, done)
 
         def varying(x):
             return _to_varying(x, axis, exchange)
 
-        state = (outbox, carry, carry_valid, varying(walks_local),
-                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
-                 jnp.int32(0), ovf0, varying(jnp.int32(0)))
+        def count_box(box):
+            return jnp.sum((box[:, :, 0] != sentinel).astype(jnp.int32))
+
+        def count_carry(cv):
+            return jnp.sum(cv.astype(jnp.int32))
+
+        if schedule == "overlapped":
+            sel = (jnp.arange(blk, dtype=jnp.int32) % 2) == 0
+            outbox_A, carry_A, cvalid_A, ovfA = build_outbox(
+                rec0, dest0, valid0 & sel,
+                *_empty_carry(nshards, ccap, _R_TRIPLES))
+            outbox_B, carry_B, cvalid_B, ovfB = build_outbox(
+                rec0, dest0, valid0 & ~sel,
+                *_empty_carry(nshards, ccap, _R_TRIPLES))
+            acc0 = (varying(walks_local), varying(jnp.int32(0)),
+                    varying(jnp.int32(0)), ovfA + ovfB,
+                    varying(jnp.int32(0)))
+            acc, phases = _overlapped_drive(
+                a2a, process, outbox_A, carry_A, cvalid_A, outbox_B,
+                carry_B, cvalid_B, acc0, count_box, count_carry, axis,
+                max_phases, varying)
+            walks_local, log_n, sent_recs, overflow, done = acc
+            stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
+            return walks_local[None, :blk, :width], stats[None]
+
+        outbox, carry, carry_valid, ovf0 = build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_TRIPLES))
+
+        def phase(state):
+            outbox, carry, carry_valid, acc, _inflight, phases = state
+            inbox = a2a(outbox)
+            outbox, carry, carry_valid, acc = process(inbox, carry,
+                                                      carry_valid, acc)
+            inflight = lax.psum(count_box(outbox) + count_carry(carry_valid),
+                                axis)
+            return (outbox, carry, carry_valid, acc, inflight, phases + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[4] > 0, state[5] < max_phases)
+
+        init_inflight = lax.psum(count_box(outbox), axis)
+        acc0 = (varying(walks_local), varying(jnp.int32(0)),
+                varying(jnp.int32(0)), ovf0, varying(jnp.int32(0)))
+        state = (outbox, carry, carry_valid, acc0, init_inflight,
+                 jnp.int32(0))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow,
-         done) = state
+        (walks_local, log_n, sent_recs, overflow, done) = state[3]
+        phases = state[5]
         stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
         return walks_local[None, :blk, :width], stats[None]
 
@@ -1266,10 +1296,12 @@ def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
                                     axis: str = "data",
                                     config: RoutedConfig | None = None,
                                     exchange: str = "xla",
-                                    exchange_interpret: bool = False):
+                                    exchange_interpret: bool = False,
+                                    schedule: str = "serial"):
     """KG-triples walks over a head-range-partitioned triples table with
     owner-routed walker exchange.  Returns (walks (B, 2L+1) int32, stats);
     bit-identical to ops.walk.walk_triples on the unpartitioned graph.
+    ``schedule="overlapped"``: see walk_partitioned_routed.
     """
     num_walkers = int(target_nodes.shape[0])
     nshards = pgraph.num_shards
@@ -1291,8 +1323,10 @@ def walk_triples_partitioned_routed(pgraph: PartitionedTriples, target_nodes,
     fn = _routed_triples_jit(mesh, axis, nshards, pgraph.shard_entities,
                              num_walkers, walk_length, int(padding_idx),
                              cfg.pair_capacity, cfg.carry,
-                             cfg.max_phases, exchange,
-                             bool(exchange_interpret))
+                             cfg.max_phases
+                             * (2 if schedule == "overlapped" else 1),
+                             exchange, bool(exchange_interpret),
+                             schedule=schedule)
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_TRIPLES)),
         NamedSharding(mesh, P()))
@@ -1355,7 +1389,8 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
                           shard_nodes: int, num_walkers: int,
                           walk_length: int, padding_idx: int, restart: bool,
                           cap: int, ccap: int, max_phases: int,
-                          exchange: str, exchange_interpret: bool):
+                          exchange: str, exchange_interpret: bool,
+                          schedule: str = "serial"):
     sentinel = _SENTINEL
 
     def shard_fn(key, meta, tails, tgt_local):
@@ -1380,15 +1415,11 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
             return _build_outbox(recs, dests, valid, carry, carry_valid,
                                  nshards, cap, ccap)
 
-        outbox, carry, carry_valid, ovf0 = build_outbox(
-            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_EDGE))
-
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
-        def phase(state):
-            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
-             sent_recs, phases, overflow, done) = state
-            inbox = a2a(outbox)
+        def process(inbox, carry, carry_valid, acc):
+            """Schedule-agnostic phase kernel (see _routed_uniform_jit)."""
+            walks_local, log_n, sent_recs, overflow, done = acc
             recs = inbox.reshape(-1, _R_EDGE)
             wid = recs[:, 0]
             arrived = wid != sentinel
@@ -1461,27 +1492,60 @@ def _routed_edge_list_jit(mesh: Mesh, axis: str, nshards: int,
             outbox, carry, carry_valid, ovf = build_outbox(
                 recs_out, dest_out, valid_out, carry, carry_valid)
             sent = jnp.sum(valid_out.astype(jnp.int32))
-            inflight = lax.psum(
-                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
-                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
-                    sent_recs + sent, phases + 1, overflow + ovf, done)
-
-        def cond(state):
-            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
-
-        init_inflight = lax.psum(
-            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
+            return outbox, carry, carry_valid, (
+                walks_local, log_n, sent_recs + sent, overflow + ovf, done)
 
         def varying(x):
             return _to_varying(x, axis, exchange)
 
-        state = (outbox, carry, carry_valid, varying(walks_local),
-                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
-                 jnp.int32(0), ovf0, varying(jnp.int32(0)))
+        def count_box(box):
+            return jnp.sum((box[:, :, 0] != sentinel).astype(jnp.int32))
+
+        def count_carry(cv):
+            return jnp.sum(cv.astype(jnp.int32))
+
+        if schedule == "overlapped":
+            sel = (jnp.arange(blk, dtype=jnp.int32) % 2) == 0
+            outbox_A, carry_A, cvalid_A, ovfA = build_outbox(
+                rec0, dest0, valid0 & sel,
+                *_empty_carry(nshards, ccap, _R_EDGE))
+            outbox_B, carry_B, cvalid_B, ovfB = build_outbox(
+                rec0, dest0, valid0 & ~sel,
+                *_empty_carry(nshards, ccap, _R_EDGE))
+            acc0 = (varying(walks_local), varying(jnp.int32(0)),
+                    varying(jnp.int32(0)), ovfA + ovfB,
+                    varying(jnp.int32(0)))
+            acc, phases = _overlapped_drive(
+                a2a, process, outbox_A, carry_A, cvalid_A, outbox_B,
+                carry_B, cvalid_B, acc0, count_box, count_carry, axis,
+                max_phases, varying)
+            walks_local, log_n, sent_recs, overflow, done = acc
+            stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
+            return walks_local[None, :blk, : walk_length + 1], stats[None]
+
+        outbox, carry, carry_valid, ovf0 = build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_EDGE))
+
+        def phase(state):
+            outbox, carry, carry_valid, acc, _inflight, phases = state
+            inbox = a2a(outbox)
+            outbox, carry, carry_valid, acc = process(inbox, carry,
+                                                      carry_valid, acc)
+            inflight = lax.psum(count_box(outbox) + count_carry(carry_valid),
+                                axis)
+            return (outbox, carry, carry_valid, acc, inflight, phases + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[4] > 0, state[5] < max_phases)
+
+        init_inflight = lax.psum(count_box(outbox), axis)
+        acc0 = (varying(walks_local), varying(jnp.int32(0)),
+                varying(jnp.int32(0)), ovf0, varying(jnp.int32(0)))
+        state = (outbox, carry, carry_valid, acc0, init_inflight,
+                 jnp.int32(0))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow,
-         done) = state
+        (walks_local, log_n, sent_recs, overflow, done) = state[3]
+        phases = state[5]
         stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
         return walks_local[None, :blk, : walk_length + 1], stats[None]
 
@@ -1505,11 +1569,13 @@ def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
                                       axis: str = "data",
                                       config: RoutedConfig | None = None,
                                       exchange: str = "xla",
-                                      exchange_interpret: bool = False):
+                                      exchange_interpret: bool = False,
+                                      schedule: str = "serial"):
     """Uniform edge-list walks (padding/restart dead-end semantics) over a
     head-range-partitioned edge list with owner-routed walker exchange.
     Returns (walks (B, L+1) int32, stats); bit-identical to
     ops.walk.walk_edge_list on the unpartitioned graph.
+    ``schedule="overlapped"``: see walk_partitioned_routed.
     """
     num_walkers = int(target_nodes.shape[0])
     nshards = pgraph.num_shards
@@ -1529,8 +1595,10 @@ def walk_edge_list_partitioned_routed(pgraph: PartitionedEdgeList,
     fn = _routed_edge_list_jit(mesh, axis, nshards, pgraph.shard_nodes,
                                num_walkers, walk_length, int(padding_idx),
                                bool(restart), cfg.pair_capacity, cfg.carry,
-                               cfg.max_phases, exchange,
-                               bool(exchange_interpret))
+                               cfg.max_phases
+                               * (2 if schedule == "overlapped" else 1),
+                               exchange, bool(exchange_interpret),
+                               schedule=schedule)
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_EDGE_UNIFORM)),
         NamedSharding(mesh, P()))
@@ -1613,7 +1681,8 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
                               padding_idx: int, restart: bool,
                               spec_rounds: int, hash_log: int, cap: int,
                               ccap: int, max_phases: int,
-                              exchange: str, exchange_interpret: bool):
+                              exchange: str, exchange_interpret: bool,
+                              schedule: str = "serial"):
     """Owner-routed biased edge-list walks: the _routed_n2v_jit phase
     machine with the edge-list transition law
     (ops/edge_list_walk.py::biased_walk_edge_list, re-creating
@@ -1697,17 +1766,14 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
         zb = jnp.zeros((blk, _BLOOM_WORDS), jnp.uint32)
         rec0 = pack(wid0, z, z, tgt_local, tgt_local, z, z, z, z, z, z,
                     tgt_local, zb)
-        outbox, carry, carry_valid, ovf0 = _build_outbox(
-            rec0, owner(tgt_local), jnp.ones((blk,), bool) & (walk_length > 0),
-            *_empty_carry(nshards, ccap, _R_EL_N2V), nshards=nshards,
-            cap=cap, ccap=ccap)
+        dest0 = owner(tgt_local)
+        valid0 = jnp.ones((blk,), bool) & (walk_length > 0)
 
         a2a = _make_a2a(exchange, axis, nshards, exchange_interpret)
 
-        def phase(state):
-            (outbox, carry, carry_valid, walks_local, log_n, _inflight,
-             sent_recs, phases, overflow, done) = state
-            inbox = a2a(outbox)
+        def process(inbox, carry, carry_valid, acc):
+            """Schedule-agnostic phase kernel (see _routed_uniform_jit)."""
+            walks_local, log_n, sent_recs, overflow, done = acc
             recs = inbox.reshape(-1, _R_EL_N2V)
             wid = recs[:, 0]
             arrived = wid != sentinel
@@ -1883,26 +1949,63 @@ def _routed_edge_list_n2v_jit(mesh: Mesh, axis: str, nshards: int,
                 recs_out, dest_out, valid_out, carry, carry_valid,
                 nshards=nshards, cap=cap, ccap=ccap)
             sent = jnp.sum(valid_out.astype(jnp.int32))
-            inflight = lax.psum(
-                jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32))
-                + jnp.sum(carry_valid.astype(jnp.int32)), axis)
-            return (outbox, carry, carry_valid, walks_local, log_n, inflight,
-                    sent_recs + sent, phases + 1, overflow + ovf, done)
-
-        def cond(state):
-            return jnp.logical_and(state[5] > 0, state[7] < max_phases)
+            return outbox, carry, carry_valid, (
+                walks_local, log_n, sent_recs + sent, overflow + ovf, done)
 
         def varying(x):
             return _to_varying(x, axis, exchange)
 
-        init_inflight = lax.psum(
-            jnp.sum((outbox[:, :, 0] != sentinel).astype(jnp.int32)), axis)
-        state = (outbox, carry, carry_valid, varying(walks_local),
-                 varying(jnp.int32(0)), init_inflight, varying(jnp.int32(0)),
-                 jnp.int32(0), ovf0, varying(jnp.int32(0)))
+        def count_box(box):
+            return jnp.sum((box[:, :, 0] != sentinel).astype(jnp.int32))
+
+        def count_carry(cv):
+            return jnp.sum(cv.astype(jnp.int32))
+
+        if schedule == "overlapped":
+            sel = (jnp.arange(blk, dtype=jnp.int32) % 2) == 0
+            outbox_A, carry_A, cvalid_A, ovfA = _build_outbox(
+                rec0, dest0, valid0 & sel,
+                *_empty_carry(nshards, ccap, _R_EL_N2V), nshards=nshards,
+                cap=cap, ccap=ccap)
+            outbox_B, carry_B, cvalid_B, ovfB = _build_outbox(
+                rec0, dest0, valid0 & ~sel,
+                *_empty_carry(nshards, ccap, _R_EL_N2V), nshards=nshards,
+                cap=cap, ccap=ccap)
+            acc0 = (varying(walks_local), varying(jnp.int32(0)),
+                    varying(jnp.int32(0)), ovfA + ovfB,
+                    varying(jnp.int32(0)))
+            acc, phases = _overlapped_drive(
+                a2a, process, outbox_A, carry_A, cvalid_A, outbox_B,
+                carry_B, cvalid_B, acc0, count_box, count_carry, axis,
+                max_phases, varying)
+            walks_local, log_n, sent_recs, overflow, done = acc
+            stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
+            return walks_local[None, :blk, : walk_length + 1], stats[None]
+
+        outbox, carry, carry_valid, ovf0 = _build_outbox(
+            rec0, dest0, valid0, *_empty_carry(nshards, ccap, _R_EL_N2V),
+            nshards=nshards, cap=cap, ccap=ccap)
+
+        def phase(state):
+            outbox, carry, carry_valid, acc, _inflight, phases = state
+            inbox = a2a(outbox)
+            outbox, carry, carry_valid, acc = process(inbox, carry,
+                                                      carry_valid, acc)
+            inflight = lax.psum(count_box(outbox) + count_carry(carry_valid),
+                                axis)
+            return (outbox, carry, carry_valid, acc, inflight, phases + 1)
+
+        def cond(state):
+            return jnp.logical_and(state[4] > 0, state[5] < max_phases)
+
+        init_inflight = lax.psum(count_box(outbox), axis)
+        acc0 = (varying(walks_local), varying(jnp.int32(0)),
+                varying(jnp.int32(0)), ovf0, varying(jnp.int32(0)))
+        state = (outbox, carry, carry_valid, acc0, init_inflight,
+                 jnp.int32(0))
         state = lax.while_loop(cond, phase, state)
-        (_, _, _, walks_local, log_n, _, sent_recs, phases, overflow,
-         done) = state
+        (walks_local, log_n, sent_recs, overflow, done) = state[3]
+        phases = state[5]
         stats = jnp.stack([log_n, sent_recs, phases, overflow, done])
         return walks_local[None, :blk, : walk_length + 1], stats[None]
 
@@ -1924,7 +2027,7 @@ def walk_edge_list_node2vec_partitioned_routed(
         restart: bool = True, seed: int = 0, axis: str = "data",
         config: RoutedConfig | None = None, spec_rounds: int = 6,
         blooms=None, exchange: str = "xla",
-        exchange_interpret: bool = False):
+        exchange_interpret: bool = False, schedule: str = "serial"):
     """Biased (p/q) edge-list walks over a head-range-partitioned edge list
     with owner-routed walker exchange — the beyond-HBM tier of
     ops.walk.walk_edge_list's biased path.  Returns (walks (B, L+1) int32,
@@ -1963,7 +2066,8 @@ def walk_edge_list_node2vec_partitioned_routed(
         mesh, axis, nshards, pgraph.shard_nodes, num_walkers, walk_length,
         float(p), float(q), int(padding_idx), bool(restart),
         int(spec_rounds), int(hash_log), cfg.pair_capacity, cfg.carry,
-        cfg.max_phases, exchange, bool(exchange_interpret))
+        cfg.max_phases * (2 if schedule == "overlapped" else 1),
+        exchange, bool(exchange_interpret), schedule=schedule)
     key = jax.device_put(
         jnp.stack(prng.derive_key(int(seed), prng.STREAM_EDGE_BIASED)),
         NamedSharding(mesh, P()))
