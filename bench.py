@@ -141,23 +141,25 @@ def run_scaling(args):
         blooms = build_partition_blooms(pg, graph)
         targets = jnp.arange(num_walkers, dtype=jnp.int32) % num_nodes
 
+        sched = args.schedule
         dt_u = time_fn(
             lambda t: walk_partitioned_routed(pg, t, mesh, walk_length,
-                                              seed=7)[0],
+                                              seed=7, schedule=sched)[0],
             targets, warmup=1, iters=args.iters)
         _, info_u = walk_partitioned_routed(pg, targets, mesh, walk_length,
-                                            seed=7)
+                                            seed=7, schedule=sched)
         dt_b = time_fn(
             lambda t: walk_partitioned_node2vec_routed(
                 pg, hashes, t, mesh, 0.5, 2.0, walk_length, seed=7,
-                blooms=blooms)[0],
+                blooms=blooms, schedule=sched)[0],
             targets, warmup=1, iters=args.iters)
         _, info_b = walk_partitioned_node2vec_routed(
             pg, hashes, targets, mesh, 0.5, 2.0, walk_length, seed=7,
-            blooms=blooms)
+            blooms=blooms, schedule=sched)
 
         point = {
             "devices": d,
+            "schedule": sched,
             # Virtual CPU devices oversubscribe the host's cores: the
             # wall-clock columns are a routing-overhead sanity check only.
             # The honest pod projection is benchmarks/scaling_model.py.
@@ -271,6 +273,11 @@ def main():
     parser.add_argument("--profile-dir", type=str, default="")
     parser.add_argument("--metrics-out", type=str, default="",
                         help="JSONL sink for per-point scaling metrics")
+    parser.add_argument("--schedule", type=str, default="serial",
+                        choices=["serial", "overlapped"],
+                        help="scaling mode: routed-engine phase schedule "
+                        "(overlapped = exchange hidden under on-partition "
+                        "sampling; bit-identical walks)")
     args = parser.parse_args()
 
     # ORDER MATTERS: the hang probe runs FIRST and uses only stdlib —
