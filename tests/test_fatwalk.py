@@ -410,6 +410,70 @@ class TestBloomBranch:
             np.asarray(full), np.concatenate([np.asarray(lo), np.asarray(hi)]))
 
 
+class TestWarmBiasedTablesCache:
+    """warm_biased_tables(graph, cache_dir): the disk-cached cuckoo + fat6
+    tables must be bit-identical to a fresh build (they are pure functions
+    of the CSR), and a stale cache (wrong shape/width/graph) must be
+    rebuilt, not trusted."""
+
+    def test_roundtrip_bit_identical(self, tmp_path):
+        import importlib
+
+        walk_mod = importlib.import_module("torch_random_walk_tpu.ops.walk")
+
+        g = random_graph(300, 5, seed=91)
+        cache = str(tmp_path / "fatcache")
+        walk_mod.warm_biased_tables(g, cache)          # build + save
+        es1 = walk_mod._EDGE_SET_CACHE[id(g)]
+        ft1 = walk_mod._BLOOM_CACHE[id(g)]
+        walk_mod.clear_graph_caches(g)
+        walk_mod.warm_biased_tables(g, cache)          # load
+        es2 = walk_mod._EDGE_SET_CACHE[id(g)]
+        ft2 = walk_mod._BLOOM_CACHE[id(g)]
+        assert (es1.log_size, es1.salt) == (es2.log_size, es2.salt)
+        np.testing.assert_array_equal(np.asarray(es1.table),
+                                      np.asarray(es2.table))
+        np.testing.assert_array_equal(np.asarray(ft1[0]), np.asarray(ft2[0]))
+        np.testing.assert_array_equal(np.asarray(ft1[1]), np.asarray(ft2[1]))
+
+    def test_stale_cache_rebuilt(self, tmp_path):
+        import importlib
+
+        walk_mod = importlib.import_module("torch_random_walk_tpu.ops.walk")
+
+        g1 = random_graph(300, 5, seed=92)
+        g2 = random_graph(400, 5, seed=93)  # different graph, same dir
+        cache = str(tmp_path / "fatcache")
+        walk_mod.warm_biased_tables(g1, cache)
+        walk_mod.warm_biased_tables(g2, cache)  # must detect the mismatch
+        ft2 = walk_mod._BLOOM_CACHE[id(g2)]
+        assert ft2[0].shape[0] == g2.num_edges
+        # The rewritten cache now belongs to g2.
+        walk_mod.clear_graph_caches(g2)
+        walk_mod.warm_biased_tables(g2, cache)
+        np.testing.assert_array_equal(
+            np.asarray(ft2[0]),
+            np.asarray(walk_mod._BLOOM_CACHE[id(g2)][0]))
+
+    def test_walks_identical_from_cache(self, tmp_path):
+        import importlib
+
+        walk_mod = importlib.import_module("torch_random_walk_tpu.ops.walk")
+
+        g = random_graph(300, 5, seed=94)
+        targets = jnp.arange(4096, dtype=jnp.int32) % g.num_nodes
+        fresh = np.asarray(walk(g, target_nodes=targets, p=0.5, q=2.0,
+                                walk_length=8, seed=3))
+        cache = str(tmp_path / "fatcache")
+        walk_mod.clear_graph_caches(g)
+        walk_mod.warm_biased_tables(g, cache)
+        walk_mod.clear_graph_caches(g)
+        walk_mod.warm_biased_tables(g, cache)  # from disk
+        cached = np.asarray(walk(g, target_nodes=targets, p=0.5, q=2.0,
+                                 walk_length=8, seed=3))
+        np.testing.assert_array_equal(fresh, cached)
+
+
 class TestVirtualLanes:
     """walks_per_lane (r5) is a pure performance knob: lane l advances
     walker ids l, lanes+l, 2*lanes+l back to back, draws stay keyed by
