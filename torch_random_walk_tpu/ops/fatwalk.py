@@ -275,20 +275,16 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
     cols = jnp.arange(length + 2, dtype=jnp.int32)
     m = jnp.uint32(prng.MAX_ROUNDS_PER_STEP)
 
-    # Virtual lanes: V whole walks per physical lane (see docstring).  Auto
-    # choice keeps lanes wide enough that the per-round gather stays on the
-    # flat part of the gather-rate curve (>= 16K rows — r4 width sweeps);
-    # V must divide B (walk rows reshape to (V, lanes)).  V=1 reproduces
-    # the r4 engine exactly.
+    # Virtual lanes: V whole walks per physical lane (see docstring).  The
+    # r5 TPU sweeps measured V > 1 SLOWER at every tested configuration
+    # (bench shape: v1 22.0M, v2 19.3M, v4 17.1M steps/s; products shape:
+    # v1 14.9M, v4 12.3M): the fat-gather rate is NOT flat in rows-in-
+    # flight (62.5M rows/s at 128K rows, 39M at 32K — round_anatomy width
+    # ladder), so shrinking lanes by V costs more gather rate than the
+    # straggler concentration returns.  Auto therefore stays at V=1; the
+    # knob remains for explicit use (bit-identical for every V).
     V = walks_per_lane
-    if V is None:
-        V = 1
-        if length >= 16:
-            for cand_v in (4, 2):
-                if num_walkers % cand_v == 0 and num_walkers // cand_v >= 16384:
-                    V = cand_v
-                    break
-    elif num_walkers % V:
+    if V is None or num_walkers % V:
         V = 1
     lanes = num_walkers // V
     lane_ids0 = jnp.arange(lanes, dtype=jnp.int32)
@@ -476,11 +472,14 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
                 .astype(jnp.uint32))
 
     def one_round(st, lane_s, compacted):
-        """One free-running round over the lanes in ``st = (S, walks)``.
-        ``compacted`` False = full-width phase (emission = masked select
-        over the (V, lanes) walk-row view); True = drain subset (emission
-        = scatter at per-lane computed walk rows)."""
-        S, walks = st
+        """One free-running round over the lanes in ``st = (S, walks)`` or,
+        during the V > 1 scan phase, ``st = (S, walks, wbuf)``.
+        ``compacted`` False = full-width phase (emission = masked select —
+        into the (lanes, L+2) CURRENT-walk buffer ``wbuf`` when present,
+        else over the (V, lanes) walk-row view); True = drain subset
+        (emission = scatter at per-lane computed walk rows)."""
+        wbuf = st[2] if len(st) == 3 else None
+        S, walks = st[0], st[1]
         t_row = S[:, :W]
         v_row = S[:, W:2 * W]
         step = S[:, C_STEP].astype(jnp.int32)
@@ -513,6 +512,17 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
             [new_t_row, new_v_row, step.astype(jnp.uint32)[:, None],
              rw[:, None], pend_cand[:, None], pend_e[:, None],
              k_col[:, None]], axis=1)
+        if wbuf is not None:
+            # V > 1 scan phase: emit into the per-lane CURRENT-walk buffer
+            # (lanes, L+2).  The (V, lanes, L+2) select kept emission cost
+            # O(B·L) per round while V multiplied the round count — the r5
+            # vsweep measured exactly that (bench shape v1 21.99M, v4
+            # 17.35M steps/s).  Completed rows flush to the walk array at
+            # the block exact/refill pass; the per-round select is now
+            # O(lanes·L), V-invariant in total.
+            wbuf = jnp.where(acc[:, None] & (cols[None, :] == s[:, None]),
+                             cand[:, None], wbuf)
+            return S, walks, wbuf
         if not compacted:
             # Emit via masked select, not scatter: a full-B dynamic-column
             # scatter costs ~1.5ms/round on the TPU scatter path, while the
@@ -543,8 +553,14 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         Under virtual lanes the pass also REFILLS lanes whose current walk
         finished (step == length, k < V-1): they restart at walk k+1's
         start node with step = rnd = 0.  Refill is disjoint from frozen
-        (a frozen lane's pending draw is at step < length)."""
-        S, walks = st
+        (a frozen lane's pending draw is at step < length).
+
+        With the V > 1 scan-phase walk buffer (``st = (S, walks, wbuf)``)
+        frozen resolutions land in ``wbuf`` and refilled lanes flush their
+        completed (lanes, L+2) buffer row into the walk array here —
+        the only place the full walk array is touched during the scan."""
+        wbuf = st[2] if len(st) == 3 else None
+        S, walks = st[0], st[1]
         size = S.shape[0]
         frozen = (S[:, C_RND] & F_FROZEN) != 0
         if V > 1:
@@ -598,6 +614,28 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
         i_act = jnp.where(act, idx, size)
         S = S.at[i_act].set(Snew, indices_are_sorted=True,
                             unique_indices=True)
+        if wbuf is not None:
+            # Frozen resolutions: scatter into the current-walk buffer
+            # (non-frozen slots row out of bounds == dropped, non-accepts
+            # hit the junk column).
+            c_rows = jnp.where(is_frz, jnp.minimum(lane_sub, lanes - 1),
+                               lanes)
+            wbuf = wbuf.at[c_rows, jnp.where(acc, s_s, length + 1)].set(
+                cand, mode="drop", unique_indices=True)
+            # Refilled lanes: flush walk k's completed buffer row to the
+            # walk array, then reset the row to walk k+1's start node.
+            ok_rf = is_rf & (lane_sub < lanes)
+            f_rows = jnp.where(ok_rf,
+                               jnp.clip(k_s * lanes + lane_sub, 0,
+                                        num_walkers - 1), num_walkers)
+            walks = walks.at[f_rows].set(
+                wbuf[jnp.minimum(lane_sub, lanes - 1)], mode="drop",
+                unique_indices=True)
+            fresh = (jnp.zeros((idx.shape[0], length + 2), jnp.int32)
+                     .at[:, 0].set(t_new))
+            wbuf = wbuf.at[jnp.where(ok_rf, lane_sub, lanes)].set(
+                fresh, mode="drop", unique_indices=True)
+            return S, walks, wbuf
         # Frozen lanes' walk rows by (k, lane); refill/padding lanes land
         # in the junk column (or out of bounds == dropped).
         g_rows = jnp.where(is_frz,
@@ -621,9 +659,21 @@ def _node2vec_freerun(edge_tab6, node_tab6, hash_table, target_nodes, meta,
 
     S0 = jnp.concatenate(
         [row0, row0, jnp.zeros((lanes, 5), jnp.uint32)], axis=1)
-    state = (S0, walks0)
+    if V > 1:
+        wbuf0 = jnp.zeros((lanes, length + 2), jnp.int32).at[:, 0].set(t0)
+        state = (S0, walks0, wbuf0)
+    else:
+        state = (S0, walks0)
     state, _ = lax.scan(lambda st, _: (block(st), 0), state,
                         jnp.arange(scan_blocks))
+    if V > 1:
+        # Scan -> drain boundary: flush every lane's current-walk buffer
+        # row into the walk array ((k, lane) rows are distinct); the drain
+        # emits via compacted scatters directly.
+        S_, walks_, wbuf_ = state
+        walks_ = walks_.at[walk_rows_of(S_, lane_ids0)].set(
+            wbuf_, unique_indices=True)
+        state = (S_, walks_)
 
     def step_of(st):
         return st[0][:, C_STEP].astype(jnp.int32)
@@ -1352,15 +1402,11 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
     if round_unroll is None:
         round_unroll = (rounds_per_block
                         if jax.default_backend() == "tpu" else 2)
+    # Auto V stays 1: the r5 TPU sweeps measured V > 1 slower everywhere
+    # (see the CSR engine's note — the gather rate falls with fewer rows
+    # in flight).  The knob remains for explicit use.
     V = walks_per_lane
-    if V is None:
-        V = 1
-        if length >= 16:
-            for cand_v in (4, 2):
-                if num_walkers % cand_v == 0 and num_walkers // cand_v >= 16384:
-                    V = cand_v
-                    break
-    elif num_walkers % V:
+    if V is None or num_walkers % V:
         V = 1
     lanes = num_walkers // V
     lane_ids0 = jnp.arange(lanes, dtype=jnp.int32)
@@ -1401,7 +1447,8 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
                 .astype(jnp.uint32))
 
     def one_round(st, lane_s, compacted):
-        t, v, vs, vc, j, js, jc, step, rnd, k, walks = st
+        wbuf = st[11] if len(st) == 12 else None
+        t, v, vs, vc, j, js, jc, step, rnd, k, walks = st[:11]
         active = step < length
         s = step + 1
         c1 = s.astype(jnp.uint32) * m + rnd
@@ -1438,6 +1485,13 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
         vc = jnp.where(acc, val_c, vc)
         step = step + acc.astype(step.dtype)
         rnd = jnp.where(acc, 0, rnd + (active & ~acc).astype(jnp.uint32))
+        if wbuf is not None:
+            # V > 1 scan phase: emit into the (lanes, L+2) current-walk
+            # buffer so per-round emission is O(lanes·L), not O(B·L) —
+            # same fix as the CSR engine (see its one_round).
+            wbuf = jnp.where(acc[:, None] & (cols[None, :] == s[:, None]),
+                             value[:, None], wbuf)
+            return t, v, vs, vc, j, js, jc, step, rnd, k, walks, wbuf
         if not compacted:
             w3 = walks.reshape(V, lanes, length + 2)
             mask = (acc[None, :, None]
@@ -1453,8 +1507,11 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
 
     def refill_pass(st, lane_s):
         """Compacted refill (V > 1 only): lanes whose walk finished restart
-        at walk k+1's start node with fresh per-walk jump state."""
-        t, v, vs, vc, j, js, jc, step, rnd, k, walks = st
+        at walk k+1's start node with fresh per-walk jump state.  With the
+        scan-phase walk buffer present, the finished walk's buffer row is
+        flushed to the walk array here."""
+        wbuf = st[11] if len(st) == 12 else None
+        t, v, vs, vc, j, js, jc, step, rnd, k, walks = st[:11]
         size = step.shape[0]
         need = (step >= length) & (k < V - 1) & (lane_s < lanes)
         idx = _compact(need, refill_cap)
@@ -1486,6 +1543,18 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
         step = step.at[i_act].set(0, **kw)
         rnd = rnd.at[i_act].set(0, **kw)
         k = k.at[i_act].set(k_s + 1, **kw)
+        if wbuf is not None:
+            ok = act & (lane_sub < lanes)
+            f_rows = jnp.where(ok, jnp.clip(k_s * lanes + lane_sub, 0,
+                                            num_walkers - 1), num_walkers)
+            walks = walks.at[f_rows].set(
+                wbuf[jnp.minimum(lane_sub, lanes - 1)], mode="drop",
+                unique_indices=True)
+            fresh = (jnp.zeros((idx.shape[0], length + 2), jnp.int32)
+                     .at[:, 0].set(t_new))
+            wbuf = wbuf.at[jnp.where(ok, lane_sub, lanes)].set(
+                fresh, mode="drop", unique_indices=True)
+            return t, v, vs, vc, j, js, jc, step, rnd, k, walks, wbuf
         return t, v, vs, vc, j, js, jc, step, rnd, k, walks
 
     def block(st, lane_s=None, compacted=False):
@@ -1501,9 +1570,18 @@ def node2vec_walk_edge_list_freerun(edge_tab, node_tab, hash_table,
              jnp.zeros((lanes,), jnp.int32),
              jnp.zeros((lanes,), jnp.uint32),
              jnp.zeros((lanes,), jnp.int32), walks0)
+    if V > 1:
+        state = state + (
+            jnp.zeros((lanes, length + 2), jnp.int32).at[:, 0].set(cur0),)
     # t starts as cur0 (never consulted at step 0: first hop accepts any).
     state, _ = lax.scan(lambda st, _: (block(st), 0), state,
                         jnp.arange(scan_blocks))
+    if V > 1:
+        # Flush every lane's current-walk buffer row before the drain
+        # (whose compacted scatters write the walk array directly).
+        walks_ = state[10].at[rows_of(state[9], lane_ids0)].set(
+            state[11], unique_indices=True)
+        state = state[:10] + (walks_,)
 
     def lane_active(st):
         if V == 1:
